@@ -192,6 +192,7 @@ class State:
   mocap_pos: jax.Array  # [nmocap, 3]
   mocap_quat: jax.Array  # [nmocap, 4]
   time: jax.Array       # scalar
+  efc_force: jax.Array | None = None  # [ne] warmstart for the contact solver
 
 
 @struct.dataclass

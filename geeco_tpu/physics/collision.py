@@ -1,0 +1,390 @@
+"""Narrowphase collision: fixed-size contact set from static pair lists.
+
+The pair list is enumerated at model-compile time (core/mjcf.py col_pairs) —
+the TPU-native replacement for a runtime broadphase: every candidate pair is
+evaluated every step with vectorized type-grouped kernels, and activation is
+a mask (dist < 0).  All shapes are static; `vmap` batches over envs.
+
+Contact conventions:
+  * `normal` points from geom1 toward geom2 (positive force separates).
+  * `dist` is the signed gap (negative = penetrating).
+  * Each pair emits a fixed number of candidate points (masked when inactive):
+      plane-box 8, plane-capsule 2, capsule-box 3, box-box 8, others 1.
+
+Supported type pairs cover every geom combination in the GEECO scenes
+(boxes/planes everywhere; spheres/capsules/ellipsoids in the clutter scenes,
+reference: assets/gym/envs/geeco-pad2-cube2-clutter12.xml:71-140; mesh task
+objects collide via their AABB box proxy, see core/mjcf.py).
+Ellipsoids use their minimum radius as a bounding sphere against everything
+but planes (exact support there); cylinders are treated as capsules.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as gm
+from ..core.model import (BOX, CAPSULE, CYLINDER, ELLIPSOID, Kin, MESH, Model,
+                          PLANE, SPHERE)
+
+# points emitted per (type1, type2) pair kernel
+_POINTS = {
+    (PLANE, SPHERE): 1, (PLANE, CAPSULE): 2, (PLANE, ELLIPSOID): 1,
+    (PLANE, CYLINDER): 2, (PLANE, BOX): 8,
+    (SPHERE, SPHERE): 1, (SPHERE, CAPSULE): 1, (SPHERE, ELLIPSOID): 1,
+    (SPHERE, BOX): 1, (SPHERE, CYLINDER): 1,
+    (CAPSULE, CAPSULE): 1, (CAPSULE, ELLIPSOID): 1, (CAPSULE, BOX): 3,
+    (CAPSULE, CYLINDER): 1, (CYLINDER, BOX): 3, (CYLINDER, CYLINDER): 1,
+    (CYLINDER, ELLIPSOID): 1,
+    (ELLIPSOID, ELLIPSOID): 1, (ELLIPSOID, BOX): 1,
+    (BOX, BOX): 8,
+}
+
+
+class Contacts(NamedTuple):
+  pos: jax.Array      # [ncon, 3]
+  normal: jax.Array   # [ncon, 3] from geom1 -> geom2
+  dist: jax.Array     # [ncon]
+  # static row metadata (numpy, identical across envs)
+  geom1: np.ndarray   # [ncon] int
+  geom2: np.ndarray   # [ncon] int
+
+
+def ncon_max(model: Model) -> int:
+  total = 0
+  for (t1, t2), pairs in model.col_pairs:
+    total += _POINTS[(t1, t2)] * len(pairs)
+  return total
+
+
+# ---------------------------------------------------------------------------
+# primitive helpers
+# ---------------------------------------------------------------------------
+
+_CORNERS = jnp.asarray(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    jnp.float32)  # [8, 3]
+
+
+def _sphere_radius(gtype: int, size):
+  if gtype == ELLIPSOID:
+    return jnp.min(size)
+  return size[0]
+
+
+def _capsule_segment(pos, quat, size):
+  """World-space endpoints of capsule/cylinder axis segment."""
+  axis = gm.quat_rotate(quat, jnp.array([0.0, 0.0, 1.0]))
+  return pos - size[1] * axis, pos + size[1] * axis
+
+
+def _closest_on_segment(a, b, p):
+  ab = b - a
+  t = jnp.clip(jnp.dot(p - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-12),
+               0.0, 1.0)
+  return a + t * ab
+
+
+def _closest_segment_segment(p1, q1, p2, q2):
+  """Closest points between segments (Ericson, branch-free)."""
+  d1, d2 = q1 - p1, q2 - p2
+  r = p1 - p2
+  a = jnp.dot(d1, d1)
+  e = jnp.dot(d2, d2)
+  f = jnp.dot(d2, r)
+  c = jnp.dot(d1, r)
+  b = jnp.dot(d1, d2)
+  denom = a * e - b * b
+  s = jnp.where(denom > 1e-12, jnp.clip((b * f - c * e) / jnp.maximum(
+      denom, 1e-12), 0.0, 1.0), 0.0)
+  t = (b * s + f) / jnp.maximum(e, 1e-12)
+  t_cl = jnp.clip(t, 0.0, 1.0)
+  s = jnp.clip((b * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
+  return p1 + s * d1, p2 + t_cl * d2
+
+
+# ---------------------------------------------------------------------------
+# pair kernels: (pos1, quat1, size1, pos2, quat2, size2) -> (pos, n, dist)
+# each returns arrays with leading axis = points-per-pair
+# ---------------------------------------------------------------------------
+
+
+def _plane_frame(pos, quat):
+  n = gm.quat_rotate(quat, jnp.array([0.0, 0.0, 1.0]))
+  return pos, n
+
+
+def plane_sphere(p1, q1, s1, p2, q2, s2, t2):
+  pp, n = _plane_frame(p1, q1)
+  r = _sphere_radius(t2, s2)
+  d = jnp.dot(p2 - pp, n) - r
+  pos = p2 - (r + 0.5 * d) * n
+  return pos[None], n[None], d[None]
+
+
+def plane_ellipsoid(p1, q1, s1, p2, q2, s2):
+  pp, n = _plane_frame(p1, q1)
+  R2 = gm.quat_to_mat(q2)
+  # support of ellipsoid along -n
+  nl = R2.T @ n
+  denom = jnp.linalg.norm(s2 * nl) + 1e-12
+  sup_local = -(s2 * s2 * nl) / denom
+  sup = p2 + R2 @ sup_local
+  d = jnp.dot(sup - pp, n)
+  return sup[None], n[None], d[None]
+
+
+def plane_capsule(p1, q1, s1, p2, q2, s2):
+  pp, n = _plane_frame(p1, q1)
+  a, b = _capsule_segment(p2, q2, s2)
+  r = s2[0]
+  da = jnp.dot(a - pp, n) - r
+  db = jnp.dot(b - pp, n) - r
+  pa = a - (r + 0.5 * da) * n
+  pb = b - (r + 0.5 * db) * n
+  return jnp.stack([pa, pb]), jnp.stack([n, n]), jnp.stack([da, db])
+
+
+def plane_box(p1, q1, s1, p2, q2, s2):
+  pp, n = _plane_frame(p1, q1)
+  corners = p2 + (_CORNERS * s2) @ gm.quat_to_mat(q2).T
+  d = (corners - pp) @ n
+  normals = jnp.broadcast_to(n, (8, 3))
+  return corners, normals, d
+
+
+def sphere_sphere(p1, q1, s1, p2, q2, s2, t1=SPHERE, t2=SPHERE):
+  r1, r2 = _sphere_radius(t1, s1), _sphere_radius(t2, s2)
+  dvec = p2 - p1
+  dist, n = gm.norm_safe(dvec)
+  d = dist - r1 - r2
+  pos = p1 + n * (r1 + 0.5 * d)
+  return pos[None], n[None], d[None]
+
+
+def sphere_capsule(p1, q1, s1, p2, q2, s2, t1=SPHERE):
+  r1 = _sphere_radius(t1, s1)
+  a, b = _capsule_segment(p2, q2, s2)
+  c = _closest_on_segment(a, b, p1)
+  dvec = c - p1
+  dist, n = gm.norm_safe(dvec)
+  d = dist - r1 - s2[0]
+  pos = p1 + n * (r1 + 0.5 * d)
+  return pos[None], n[None], d[None]
+
+
+def capsule_capsule(p1, q1, s1, p2, q2, s2):
+  a1, b1 = _capsule_segment(p1, q1, s1)
+  a2, b2 = _capsule_segment(p2, q2, s2)
+  c1, c2 = _closest_segment_segment(a1, b1, a2, b2)
+  dvec = c2 - c1
+  dist, n = gm.norm_safe(dvec)
+  d = dist - s1[0] - s2[0]
+  pos = c1 + n * (s1[0] + 0.5 * d)
+  return pos[None], n[None], d[None]
+
+
+def _sphere_box_one(center, r, pbox, qbox, sbox):
+  Rb = gm.quat_to_mat(qbox)
+  local = Rb.T @ (center - pbox)
+  clamped = jnp.clip(local, -sbox, sbox)
+  delta = local - clamped
+  dist_out = jnp.linalg.norm(delta)
+  outside = dist_out > 1e-9
+  # outside: normal from surface point to center
+  n_out = delta / jnp.maximum(dist_out, 1e-9)
+  # inside: push along axis of least depth
+  depth_ax = sbox - jnp.abs(local)
+  ax = jnp.argmin(depth_ax)
+  sign = jnp.sign(local[ax] + 1e-12)
+  n_in = jnp.zeros(3).at[ax].set(sign)
+  d = jnp.where(outside, dist_out - r, -(depth_ax[ax] + r))
+  n_local = jnp.where(outside, n_out, n_in)
+  n_world = Rb @ n_local
+  surf = pbox + Rb @ jnp.clip(local - n_local * 1e9, -sbox, sbox)  # unused
+  pos = center - n_world * (r + 0.5 * d)
+  # normal convention: from box toward sphere is +n_world; caller flips
+  return pos, n_world, d
+
+
+def sphere_box(p1, q1, s1, p2, q2, s2, t1=SPHERE):
+  r1 = _sphere_radius(t1, s1)
+  pos, n_box2sph, d = _sphere_box_one(p1, r1, p2, q2, s2)
+  # normal must point geom1(sphere) -> geom2(box)
+  return pos[None], (-n_box2sph)[None], d[None]
+
+
+def capsule_box(p1, q1, s1, p2, q2, s2):
+  a, b = _capsule_segment(p1, q1, s1)
+  r = s1[0]
+  pts = jnp.stack([a, 0.5 * (a + b), b])
+  pos, n, d = jax.vmap(lambda c: _sphere_box_one(c, r, p2, q2, s2))(pts)
+  return pos, -n, d
+
+
+def box_box(p1, q1, s1, p2, q2, s2):
+  """SAT + corner-candidate manifold, up to 8 points."""
+  R1 = gm.quat_to_mat(q1)
+  R2 = gm.quat_to_mat(q2)
+  dvec = p2 - p1
+
+  # 15 candidate axes
+  axes = [R1[:, i] for i in range(3)] + [R2[:, i] for i in range(3)]
+  for i in range(3):
+    for j in range(3):
+      cr = jnp.cross(R1[:, i], R2[:, j])
+      nrm = jnp.linalg.norm(cr)
+      # degenerate (parallel edges): substitute face axis so SAT unaffected
+      axes.append(jnp.where(nrm > 1e-6, cr / jnp.maximum(nrm, 1e-6),
+                            R1[:, 0]))
+  A = jnp.stack(axes)  # [15, 3]
+
+  ext1 = jnp.abs(A @ R1) @ s1  # [15] support extent of box1 per axis
+  ext2 = jnp.abs(A @ R2) @ s2
+  proj = A @ dvec
+  sep = jnp.abs(proj) - ext1 - ext2  # separation per axis (neg = overlap)
+
+  best = jnp.argmax(sep)
+  sep_max = sep[best]
+  n = A[best] * jnp.sign(proj[best] + 1e-12)  # oriented box1 -> box2
+
+  # candidate contacts: corners of each box beyond the other's support plane
+  c1 = p1 + (_CORNERS * s1) @ R1.T  # [8, 3]
+  c2 = p2 + (_CORNERS * s2) @ R2.T
+  # plane through A's support face along n: x·n = p1·n + ext1(n)
+  ext1n = jnp.abs(n @ R1) @ s1
+  ext2n = jnp.abs(n @ R2) @ s2
+  d_c2 = (c2 - p1) @ n - ext1n            # B corners beyond A's face (neg)
+  d_c1 = (p2 @ n - ext2n) - c1 @ n        # A corners beyond B's face (neg)
+
+  cand_pos = jnp.concatenate([c2, c1], axis=0)        # [16, 3]
+  cand_d = jnp.concatenate([d_c2, d_c1], axis=0)      # [16]
+  # lateral pruning: candidate must lie (loosely) inside the other box
+  tol = 1.5
+  l2 = jnp.abs((c2 - p1) @ R1) - tol * s1             # in box1 frame
+  inside2 = jnp.max(l2, axis=-1) < 0.05
+  l1 = jnp.abs((c1 - p2) @ R2) - tol * s2
+  inside1 = jnp.max(l1, axis=-1) < 0.05
+  lateral_ok = jnp.concatenate([inside2, inside1])
+  cand_d = jnp.where(lateral_ok, cand_d, 1.0)
+
+  # separated -> deactivate all
+  cand_d = jnp.where(sep_max < 0, cand_d, jnp.maximum(cand_d, 1.0))
+  # keep 8 deepest
+  neg_d, idx = jax.lax.top_k(-cand_d, 8)
+  pos8 = cand_pos[idx]
+  d8 = -neg_d
+  n8 = jnp.broadcast_to(n, (8, 3))
+  return pos8, n8, d8
+
+
+# dispatcher: (t1, t2) -> kernel(p1,q1,s1,p2,q2,s2)
+def _kernel(t1: int, t2: int):
+  t1c = CAPSULE if t1 == CYLINDER else t1
+  t2c = CAPSULE if t2 == CYLINDER else t2
+  if t1c == PLANE:
+    if t2c == SPHERE:
+      return lambda *a: plane_sphere(*a, t2=t2)
+    if t2c == CAPSULE:
+      return plane_capsule
+    if t2c == ELLIPSOID:
+      return plane_ellipsoid
+    if t2c == BOX:
+      return plane_box
+  if t1c == SPHERE or t1c == ELLIPSOID:
+    if t2c in (SPHERE, ELLIPSOID):
+      return lambda *a: sphere_sphere(*a, t1=t1, t2=t2)
+    if t2c == CAPSULE:
+      return lambda *a: sphere_capsule(*a, t1=t1)
+    if t2c == BOX:
+      return lambda *a: sphere_box(*a, t1=t1)
+  if t1c == CAPSULE:
+    if t2c == CAPSULE:
+      return capsule_capsule
+    if t2c == ELLIPSOID:
+      # flip: sphere(ellipsoid)-capsule with negated normal
+      def k(p1, q1, s1, p2, q2, s2):
+        pos, n, d = sphere_capsule(p2, q2, s2, p1, q1, s1, t1=ELLIPSOID)
+        return pos, -n, d
+      return k
+    if t2c == BOX:
+      return capsule_box
+  if t1c == BOX and t2c == BOX:
+    return box_box
+  raise NotImplementedError(f'collision kernel ({t1}, {t2})')
+
+
+# ---------------------------------------------------------------------------
+# top-level collide
+# ---------------------------------------------------------------------------
+
+
+def collide(model: Model, kin: Kin) -> Contacts:
+  """Evaluate all static pairs; returns fixed-size contact arrays."""
+  all_pos, all_n, all_d = [], [], []
+  geom1_rows, geom2_rows = [], []
+  for (t1, t2), pairs in model.col_pairs:
+    kern = _kernel(t1, t2)
+    npts = _POINTS[(t1, t2)]
+    g1 = np.asarray([p[0] for p in pairs], np.int32)
+    g2 = np.asarray([p[1] for p in pairs], np.int32)
+    p1 = kin.geom_xpos[g1]
+    q1 = kin.geom_xquat[g1]
+    s1 = model.geom_size[g1]
+    p2 = kin.geom_xpos[g2]
+    q2 = kin.geom_xquat[g2]
+    s2 = model.geom_size[g2]
+    pos, n, d = jax.vmap(kern)(p1, q1, s1, p2, q2, s2)  # [P, npts, ...]
+    all_pos.append(pos.reshape(-1, 3))
+    all_n.append(n.reshape(-1, 3))
+    all_d.append(d.reshape(-1))
+    geom1_rows.append(np.repeat(g1, npts))
+    geom2_rows.append(np.repeat(g2, npts))
+  if not all_pos:
+    return Contacts(pos=jnp.zeros((0, 3)), normal=jnp.zeros((0, 3)),
+                    dist=jnp.zeros((0,)), geom1=np.zeros(0, np.int32),
+                    geom2=np.zeros(0, np.int32))
+  return Contacts(
+      pos=jnp.concatenate(all_pos),
+      normal=jnp.concatenate(all_n),
+      dist=jnp.concatenate(all_d),
+      geom1=np.concatenate(geom1_rows),
+      geom2=np.concatenate(geom2_rows),
+  )
+
+
+def contact_params(model: Model) -> Tuple[np.ndarray, ...]:
+  """Static per-contact-row combined material params.
+
+  Returns (body1, body2, friction[ncon,3], solref[ncon,2], solimp[ncon,3],
+  condim[ncon]) as numpy arrays aligned with collide() rows.
+  MuJoCo equal-priority combination: friction = elementwise max,
+  solref/solimp = mean, condim = max.
+  """
+  g_body = np.asarray(model.geom_bodyid)
+  fric = np.asarray(model.geom_friction)
+  solref = np.asarray(model.geom_solref)
+  solimp = np.asarray(model.geom_solimp)
+  condim = np.asarray(model.geom_condim)
+  b1, b2, fr, sr, si, cd = [], [], [], [], [], []
+  for (t1, t2), pairs in model.col_pairs:
+    npts = _POINTS[(t1, t2)]
+    for g1, g2 in pairs:
+      for _ in range(npts):
+        b1.append(g_body[g1])
+        b2.append(g_body[g2])
+        fr.append(np.maximum(fric[g1], fric[g2]))
+        sr.append(0.5 * (solref[g1] + solref[g2]))
+        si.append(0.5 * (solimp[g1] + solimp[g2]))
+        cd.append(max(condim[g1], condim[g2]))
+  if not b1:
+    return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+            np.zeros((0, 3)), np.zeros((0, 2)), np.zeros((0, 3)),
+            np.zeros(0, np.int32))
+  return (np.asarray(b1, np.int32), np.asarray(b2, np.int32),
+          np.asarray(fr, np.float32), np.asarray(sr, np.float32),
+          np.asarray(si, np.float32), np.asarray(cd, np.int32))

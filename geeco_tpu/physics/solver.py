@@ -1,0 +1,361 @@
+"""Constraint assembly + projected-gradient contact solver.
+
+MuJoCo-compatible soft-constraint model (solref/solimp impedance, reference
+accelerations, R-regularization) solved in the dual (force) space with a
+diagonally-preconditioned projected gradient method — fully parallel across
+constraint rows, unlike sequential PGS, so it vmaps cleanly over thousands
+of envs and maps to the VPU/MXU.  Friction cones are elliptic (the scenes
+set cone="elliptic", reference: assets/gym/envs/geeco-pad2-cube2.xml:4):
+projection clamps tangential force to the mu*fn disk.
+
+Row layout (static per model):
+  [ncon * 4]  contact rows: (normal, tangent1, tangent2, torsional)
+  [nlim * 2]  joint-limit rows (lower, upper)
+  [neq * 6]   weld rows (3 translation + 3 rotation)
+
+condim semantics: condim 3 pairs mask the torsional row; condim >= 4 uses
+friction[1] as torsional coefficient (gripper fingers are condim 4,
+reference: assets/gym/robots/fetch-gym.xml:89).  Rolling rows (condim 6) are
+not emitted in round 1 — rolling coefficients in the scenes are the 1e-4
+default with negligible dynamic effect.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as gm
+from ..core.model import FREE, Model, State
+from . import collision as C
+from . import dynamics as D
+from . import kinematics as K
+
+
+class ConstraintStatic(NamedTuple):
+  """Static (trace-time) constraint layout for a model."""
+  ncon: int
+  nlim: int
+  neq: int
+  ne: int
+  con_body1: np.ndarray     # [ncon]
+  con_body2: np.ndarray     # [ncon]
+  con_friction: np.ndarray  # [ncon, 3]
+  con_solref: np.ndarray    # [ncon, 2]
+  con_solimp: np.ndarray    # [ncon, 3]
+  con_condim: np.ndarray    # [ncon]
+  lim_dof: np.ndarray       # [nlim]
+  lim_qadr: np.ndarray      # [nlim]
+  lim_range: np.ndarray     # [nlim, 2]
+  lim_solref: np.ndarray    # [nlim, 2]
+  lim_solimp: np.ndarray    # [nlim, 3]
+  invweight: np.ndarray     # [ne] reference-pose inverse weight per row
+
+
+def _body_invweights(model: Model, anc_mask: np.ndarray) -> np.ndarray:
+  """Reference-pose inverse weights [nbody, 2] (translation, rotation).
+
+  Like MuJoCo's body_invweight0: mean diagonal of J M(q0)^-1 J^T at the COM,
+  computed once at compile.  Used to regularize constraints independently of
+  the instantaneous Jacobian — near kinematic singularities the true diagA
+  collapses (e.g. EE x-motion of the fully-stretched Fetch arm goes only
+  through the 1e11-damped world slides) and regularizing with it produces
+  unbounded constraint forces.
+  """
+  from ..core.model import State, make_state
+  state0 = make_state(model)
+  kin = K.fk(model, state0)
+  info = K.dof_info(model, kin)
+  jacp, jacr = K.com_jacobians(model, kin, info, anc_mask)
+  M = D.mass_matrix(model, kin, jacp, jacr)
+  Minv = np.linalg.inv(np.asarray(M, np.float64))
+  jp = np.asarray(jacp, np.float64)  # [nbody, nv, 3]
+  jr = np.asarray(jacr, np.float64)
+  A_t = np.einsum('bvi,vw,bwi->b', jp, Minv, jp) / 3.0
+  A_r = np.einsum('bvi,vw,bwi->b', jr, Minv, jr) / 3.0
+  out = np.stack([A_t, A_r], -1).astype(np.float32)
+  return out
+
+
+def _dof_invweights(model: Model, anc_mask: np.ndarray) -> np.ndarray:
+  from ..core.model import make_state
+  state0 = make_state(model)
+  kin = K.fk(model, state0)
+  info = K.dof_info(model, kin)
+  jacp, jacr = K.com_jacobians(model, kin, info, anc_mask)
+  M = D.mass_matrix(model, kin, jacp, jacr)
+  Minv = np.linalg.inv(np.asarray(M, np.float64))
+  return np.diag(Minv).astype(np.float32)
+
+
+def constraint_static(model: Model, anc_mask: np.ndarray) -> ConstraintStatic:
+  b1, b2, fric, solref, solimp, condim = C.contact_params(model)
+  ncon = len(b1)
+  lim_dof, lim_qadr, lim_range, lim_solref, lim_solimp = [], [], [], [], []
+  for j in range(model.njnt):
+    if model.jnt_limited[j]:
+      lim_dof.append(model.jnt_dofadr[j])
+      lim_qadr.append(model.jnt_qposadr[j])
+      lim_range.append(np.asarray(model.jnt_range[j]))
+      lim_solref.append(np.asarray(model.jnt_solref[j]))
+      lim_solimp.append(np.asarray(model.jnt_solimp[j]))
+  nlim = len(lim_dof)
+  ne = ncon * 4 + nlim * 2 + model.neq * 6
+
+  binvw = _body_invweights(model, anc_mask)
+  dinvw = _dof_invweights(model, anc_mask)
+  con_w_t = binvw[b1, 0] + binvw[b2, 0] if ncon else np.zeros(0)
+  con_w_r = binvw[b1, 1] + binvw[b2, 1] if ncon else np.zeros(0)
+  lim_w = dinvw[np.asarray(lim_dof, np.int32)] if nlim else np.zeros(0)
+  eq_w = []
+  for e in range(model.neq):
+    w1 = binvw[model.eq_body1[e]]
+    w2 = binvw[model.eq_body2[e]]
+    eq_w.extend([w1[0] + w2[0]] * 3)
+    eq_w.extend([w1[1] + w2[1]] * 3)
+  invweight = np.concatenate([
+      con_w_t, con_w_t, con_w_t, con_w_r,      # n, t1, t2, torsion
+      np.repeat(lim_w, 1), np.repeat(lim_w, 1),
+      np.asarray(eq_w, np.float32),
+  ]).astype(np.float32) if ne else np.zeros(0, np.float32)
+  invweight = np.maximum(invweight, 1e-8)
+
+  return ConstraintStatic(
+      ncon=ncon, nlim=nlim, neq=model.neq, ne=ne,
+      con_body1=b1, con_body2=b2, con_friction=fric, con_solref=solref,
+      con_solimp=solimp, con_condim=condim,
+      lim_dof=np.asarray(lim_dof, np.int32),
+      lim_qadr=np.asarray(lim_qadr, np.int32),
+      lim_range=np.asarray(lim_range, np.float32).reshape(nlim, 2),
+      lim_solref=np.asarray(lim_solref, np.float32).reshape(nlim, 2),
+      lim_solimp=np.asarray(lim_solimp, np.float32).reshape(nlim, 3),
+      invweight=invweight,
+  )
+
+
+class Constraints(NamedTuple):
+  J: jax.Array       # [ne, nv]
+  aref: jax.Array    # [ne]
+  d_imp: jax.Array   # [ne] impedance in (0, 1)
+  active: jax.Array  # [ne] bool — clamped rows only meaningful when active
+
+
+def impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
+  """MuJoCo impedance sigmoid d(|pos|) with power=2, midpoint=0.5."""
+  dmin, dmax, width = solimp[..., 0], solimp[..., 1], solimp[..., 2]
+  x = jnp.clip(jnp.abs(pos) / jnp.maximum(width, 1e-9), 0.0, 1.0)
+  y = jnp.where(x < 0.5, 2.0 * x * x, 1.0 - 2.0 * (1.0 - x) * (1.0 - x))
+  return jnp.clip(dmin + y * (dmax - dmin), 1e-4, 1.0 - 1e-6)
+
+
+def _kb(solref: jax.Array, d: jax.Array, dmax: jax.Array):
+  tc, dr = jnp.maximum(solref[..., 0], 1e-6), jnp.maximum(
+      solref[..., 1], 1e-6)
+  b = 2.0 / (dmax * tc)
+  k = d / (dmax * dmax * tc * tc * dr * dr)
+  return k, b
+
+
+def _tangent_frame(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
+  """Two unit tangents orthogonal to n (branch-free)."""
+  ref = jnp.where(jnp.abs(n[..., 2:3]) < 0.9,
+                  jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), n.shape),
+                  jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), n.shape))
+  t1 = jnp.cross(ref, n)
+  t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+  t2 = jnp.cross(n, t1)
+  return t1, t2
+
+
+def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
+                     contacts: C.Contacts, state: State,
+                     anc_mask: np.ndarray) -> Constraints:
+  info = smooth.info
+  nv = model.nv
+  J_rows, aref_rows, d_rows, active_rows = [], [], [], []
+
+  # ---------------- contacts ----------------
+  if cs.ncon:
+    mask1 = jnp.asarray(anc_mask[cs.con_body1])  # [ncon, nv]
+    mask2 = jnp.asarray(anc_mask[cs.con_body2])
+    pts = contacts.pos
+    r = pts[:, None, :] - info.anchor[None, :, :]  # [ncon, nv, 3]
+    axis = jnp.broadcast_to(info.axis[None], r.shape)
+    jp = (info.is_trans[None, :, None] * axis +
+          info.is_rot[None, :, None] * jnp.cross(axis, r))
+    Jp_rel = (mask2 - mask1)[:, :, None] * jp                # [ncon, nv, 3]
+    Jr_rel = ((mask2 - mask1)[:, :, None] *
+              info.is_rot[None, :, None] * axis)             # [ncon, nv, 3]
+
+    n = contacts.normal
+    t1, t2 = _tangent_frame(n)
+    J_n = jnp.einsum('cvi,ci->cv', Jp_rel, n)
+    J_t1 = jnp.einsum('cvi,ci->cv', Jp_rel, t1)
+    J_t2 = jnp.einsum('cvi,ci->cv', Jp_rel, t2)
+    J_tor = jnp.einsum('cvi,ci->cv', Jr_rel, n)
+    # condim 3 rows have no torsional coupling
+    tor_on = jnp.asarray((cs.con_condim >= 4).astype(np.float32))
+    J_tor = J_tor * tor_on[:, None]
+
+    solimp = jnp.asarray(cs.con_solimp)
+    solref = jnp.asarray(cs.con_solref)
+    d_con = impedance(solimp, contacts.dist)                  # [ncon]
+    k, b = _kb(solref, d_con, solimp[:, 1])
+
+    qvel = state.qvel
+    v_n = J_n @ qvel
+    aref_n = -b * v_n - k * jnp.minimum(contacts.dist, 0.0)
+    aref_t1 = -b * (J_t1 @ qvel)
+    aref_t2 = -b * (J_t2 @ qvel)
+    aref_tor = -b * (J_tor @ qvel)
+
+    act = contacts.dist < 0.0
+    for Jr, ar in ((J_n, aref_n), (J_t1, aref_t1), (J_t2, aref_t2),
+                   (J_tor, aref_tor)):
+      J_rows.append(Jr)
+      aref_rows.append(ar)
+      d_rows.append(d_con)
+      active_rows.append(act)
+
+  # ---------------- joint limits ----------------
+  if cs.nlim:
+    qp = state.qpos[jnp.asarray(cs.lim_qadr)]
+    lo = jnp.asarray(cs.lim_range[:, 0])
+    hi = jnp.asarray(cs.lim_range[:, 1])
+    e = jnp.zeros((cs.nlim, nv))
+    e = e.at[jnp.arange(cs.nlim), jnp.asarray(cs.lim_dof)].set(1.0)
+    solimp = jnp.asarray(cs.lim_solimp)
+    solref = jnp.asarray(cs.lim_solref)
+    for pos, Jr in (((qp - lo), e), ((hi - qp), -e)):
+      d_l = impedance(solimp, jnp.minimum(pos, 0.0))
+      k, b = _kb(solref, d_l, solimp[:, 1])
+      vel = Jr @ state.qvel
+      aref = -b * vel - k * jnp.minimum(pos, 0.0)
+      J_rows.append(Jr)
+      aref_rows.append(aref)
+      d_rows.append(d_l)
+      active_rows.append(pos < 0.0)
+
+  # ---------------- weld equalities ----------------
+  for e_i in range(model.neq):
+    b1 = model.eq_body1[e_i]
+    b2 = model.eq_body2[e_i]
+    kin = smooth.kin
+    perr = kin.xpos[b2] - kin.xpos[b1]
+    rerr = gm.quat_sub(kin.xquat[b2], kin.xquat[b1])
+    pos6 = jnp.concatenate([perr, rerr])
+
+    point = kin.xpos[b2]
+    m1 = anc_mask[b1]
+    m2 = anc_mask[b2]
+    rr = point[None, :] - info.anchor
+    jp = (info.is_trans[:, None] * info.axis +
+          info.is_rot[:, None] * jnp.cross(info.axis, rr))
+    Jp_rel = (jnp.asarray(m2 - m1))[:, None] * jp      # [nv, 3]
+    Jr_rel = (jnp.asarray(m2 - m1))[:, None] * \
+        info.is_rot[:, None] * info.axis
+    J6 = jnp.concatenate([Jp_rel.T, Jr_rel.T])          # [6, nv]
+
+    solimp = model.eq_solimp[e_i]
+    solref = model.eq_solref[e_i]
+    d_e = impedance(solimp[None, :], jnp.linalg.norm(pos6))
+    d_e6 = jnp.broadcast_to(d_e, (6,))
+    k, b = _kb(solref[None, :], d_e6, solimp[1])
+    vel = J6 @ state.qvel
+    aref = -b * vel - k * pos6
+    J_rows.append(J6)
+    aref_rows.append(aref)
+    d_rows.append(d_e6)
+    active_rows.append(jnp.ones(6, bool))
+
+  if not J_rows:
+    return Constraints(J=jnp.zeros((0, nv)), aref=jnp.zeros(0),
+                       d_imp=jnp.zeros(0), active=jnp.zeros(0, bool))
+
+  return Constraints(
+      J=jnp.concatenate([j.reshape(-1, nv) for j in J_rows]),
+      aref=jnp.concatenate([a.reshape(-1) for a in aref_rows]),
+      d_imp=jnp.concatenate([d.reshape(-1) for d in d_rows]),
+      active=jnp.concatenate([a.reshape(-1) for a in active_rows]),
+  )
+
+
+def _row_order(cs: ConstraintStatic) -> dict:
+  """Index ranges of each row family in the concatenated layout."""
+  ncon, nlim, neq = cs.ncon, cs.nlim, cs.neq
+  off = 0
+  out = {}
+  out['con_n'] = (off, off + ncon); off += ncon
+  out['con_t1'] = (off, off + ncon); off += ncon
+  out['con_t2'] = (off, off + ncon); off += ncon
+  out['con_tor'] = (off, off + ncon); off += ncon
+  out['lim'] = (off, off + 2 * nlim); off += 2 * nlim
+  out['eq'] = (off, off + 6 * neq); off += 6 * neq
+  return out
+
+
+def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
+          con: Constraints, warmstart: jax.Array | None,
+          iterations: int = 50) -> Tuple[jax.Array, jax.Array]:
+  """Projected-gradient solve; returns (f [ne], qacc [nv])."""
+  ne = con.J.shape[0]
+  if ne == 0:
+    return jnp.zeros(0), smooth.qacc_smooth
+
+  chol = (smooth.chol, False)
+  X = jax.scipy.linalg.cho_solve(chol, con.J.T)     # [nv, ne] = Minv J^T
+  diagA = jnp.einsum('ev,ve->e', con.J, X)
+  # regularization from reference-pose invweights (see _body_invweights)
+  R = (1.0 - con.d_imp) / con.d_imp * jnp.asarray(cs.invweight)
+  b = con.J @ smooth.qacc_smooth - con.aref
+  precond = 1.0 / (diagA + R + 1e-12)
+
+  ncon = cs.ncon
+  order = _row_order(cs)
+  mu_t = jnp.asarray(cs.con_friction[:, 0]) if ncon else jnp.zeros(0)
+  mu_tor = jnp.asarray(cs.con_friction[:, 1]) if ncon else jnp.zeros(0)
+  lo_lim, hi_lim = order['lim']
+
+  con_active = con.active[order['con_n'][0]:order['con_n'][1]] \
+      if ncon else jnp.zeros(0, bool)
+  lim_active = con.active[lo_lim:hi_lim]
+
+  def project(f):
+    if ncon:
+      fn = jnp.maximum(f[0:ncon], 0.0) * con_active
+      ft1 = f[ncon:2 * ncon]
+      ft2 = f[2 * ncon:3 * ncon]
+      ftor = f[3 * ncon:4 * ncon]
+      t_norm = jnp.sqrt(ft1 * ft1 + ft2 * ft2 + 1e-18)
+      scale = jnp.minimum(1.0, mu_t * fn / t_norm)
+      ft1 = ft1 * scale * con_active
+      ft2 = ft2 * scale * con_active
+      ftor = jnp.clip(ftor, -mu_tor * fn, mu_tor * fn) * con_active
+      f = f.at[0:4 * ncon].set(jnp.concatenate([fn, ft1, ft2, ftor]))
+    if hi_lim > lo_lim:
+      f = f.at[lo_lim:hi_lim].set(
+          jnp.maximum(f[lo_lim:hi_lim], 0.0) * lim_active)
+    return f
+
+  f0 = jnp.zeros(ne) if warmstart is None else warmstart
+  f0 = project(f0)
+
+  def body(f, _):
+    g = con.J @ (X @ f) + R * f + b
+    # preconditioned steepest descent with exact quadratic step size:
+    # robust to strongly coupled (near-duplicate) contact rows where a
+    # fixed-step projected Jacobi iteration diverges.
+    d = precond * g
+    Ad = con.J @ (X @ d) + R * d
+    denom = jnp.dot(d, Ad)
+    alpha = jnp.where(denom > 1e-12, jnp.dot(g, d) / jnp.maximum(
+        denom, 1e-12), 0.0)
+    f = project(f - alpha * d)
+    return f, None
+
+  f, _ = jax.lax.scan(body, f0, None, length=iterations)
+  qacc = smooth.qacc_smooth + X @ f
+  return f, qacc

@@ -1,0 +1,69 @@
+"""Full physics step: smooth dynamics -> collide -> solve -> integrate.
+
+``build_stepper(model)`` precomputes all static structure and returns pure
+functions suitable for jit/vmap/scan:
+
+  substep(state)            one physics substep (h = model timestep)
+  step(state, n_substeps)   the env-facing step (reference uses 20 substeps
+                            per control step: src/geeco_gym/pickplace.py:95)
+
+TPU-batched usage: ``jax.vmap(stepper.substep)`` over a leading env axis,
+wrapped in ``jax.lax.scan`` over substeps, all inside one jit — no host
+round-trips inside the control loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.model import Kin, Model, State
+from . import collision as C
+from . import dynamics as D
+from . import kinematics as K
+from . import solver as S
+
+
+class Stepper(NamedTuple):
+  model: Model
+  anc_mask: np.ndarray
+  cs: S.ConstraintStatic
+  ne: int
+
+  def fk(self, state: State) -> Kin:
+    return K.fk(self.model, state)
+
+  def substep(self, state: State, solver_iterations: int = 50) -> State:
+    model = self.model
+    dt = model.opt.timestep
+    smooth = D.smooth_dynamics(model, state, self.anc_mask, dt)
+    contacts = C.collide(model, smooth.kin)
+    con = S.make_constraints(model, self.cs, smooth, contacts, state,
+                             self.anc_mask)
+    f, qacc = S.solve(model, self.cs, smooth, con, state.efc_force,
+                      iterations=solver_iterations)
+    qvel = state.qvel + dt * qacc
+    qpos = K.integrate_qpos(model, state.qpos, qvel, dt)
+    return state.replace(qpos=qpos, qvel=qvel, time=state.time + dt,
+                         efc_force=f)
+
+  def step(self, state: State, n_substeps: int = 20,
+           solver_iterations: int = 50) -> State:
+    def body(s, _):
+      return self.substep(s, solver_iterations), None
+    state, _ = jax.lax.scan(body, state, None, length=n_substeps)
+    return state
+
+  def init_state(self, state: State) -> State:
+    """Attach a zero warmstart vector of the right static size."""
+    return state.replace(efc_force=jnp.zeros((self.ne,), jnp.float32))
+
+
+def build_stepper(model: Model) -> Stepper:
+  anc_mask = K.ancestor_mask(model)
+  cs = S.constraint_static(model, anc_mask)
+  return Stepper(model=model, anc_mask=anc_mask, cs=cs, ne=cs.ne)
