@@ -1,0 +1,185 @@
+"""Render-scene compilation: Model + Assets -> static triangle buffers.
+
+Primitives are tessellated and meshes decimated (vertex clustering) at
+compile time into one flat vertex/triangle soup, with per-vertex geom ids so
+a frame render is: gather geom world poses -> transform all vertices ->
+rasterize.  All shapes static; the per-frame work is pure batched math.
+
+Replaces the reference's offscreen OpenGL context (mujoco-py
+MjRenderContextOffscreen; reference: src/geeco_gym/pickplace.py:260-264)
+with an on-device pipeline whose output lives in HBM next to the policy.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from ..core.mjcf import Assets
+from ..core.model import (BOX, CAPSULE, CYLINDER, ELLIPSOID, MESH, Model,
+                          PLANE, SPHERE)
+
+
+class RenderScene(NamedTuple):
+  vert: np.ndarray       # [V, 3] local coords (geom frame)
+  vert_geom: np.ndarray  # [V] geom id per vertex
+  tri: np.ndarray        # [T, 3] vertex indices
+  tri_geom: np.ndarray   # [T] geom id per triangle
+  ngeom: int
+
+
+# ------------------------------------------------------------- tessellation
+
+
+def _box_mesh():
+  v = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                for sz in (-1, 1)], np.float32)
+  f = np.array([
+      [0, 1, 3], [0, 3, 2],  # -x
+      [4, 6, 7], [4, 7, 5],  # +x
+      [0, 4, 5], [0, 5, 1],  # -y
+      [2, 3, 7], [2, 7, 6],  # +y
+      [0, 2, 6], [0, 6, 4],  # -z
+      [1, 5, 7], [1, 7, 3],  # +z
+  ], np.int32)
+  return v, f
+
+
+def _icosphere(subdiv: int = 1):
+  t = (1.0 + np.sqrt(5.0)) / 2.0
+  v = np.array([
+      [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+      [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+      [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float32)
+  v /= np.linalg.norm(v, axis=1, keepdims=True)
+  f = np.array([
+      [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+      [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+      [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+      [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int32)
+  for _ in range(subdiv):
+    mids = {}
+    verts = list(v)
+    faces = []
+    def mid(a, b):
+      key = (min(a, b), max(a, b))
+      if key not in mids:
+        m = verts[a] + verts[b]
+        m = m / np.linalg.norm(m)
+        mids[key] = len(verts)
+        verts.append(m)
+      return mids[key]
+    for a, b, c in f:
+      ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+      faces += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(faces, np.int32)
+  return v, f
+
+
+def _capsule_mesh(radius: float, half_len: float, nseg: int = 12):
+  """Capsule along z: cylinder + hemispherical caps."""
+  ang = np.linspace(0, 2 * np.pi, nseg, endpoint=False)
+  ring = np.stack([np.cos(ang), np.sin(ang)], -1)
+  verts, faces = [], []
+  # cylinder rings
+  top = np.concatenate([radius * ring, np.full((nseg, 1), half_len)], -1)
+  bot = np.concatenate([radius * ring, np.full((nseg, 1), -half_len)], -1)
+  verts = list(bot) + list(top)
+  for i in range(nseg):
+    j = (i + 1) % nseg
+    faces += [[i, j, nseg + j], [i, nseg + j, nseg + i]]
+  # caps from icosphere hemispheres (coarse: fan to pole)
+  top_pole = len(verts)
+  verts.append(np.array([0, 0, half_len + radius], np.float32))
+  bot_pole = len(verts)
+  verts.append(np.array([0, 0, -half_len - radius], np.float32))
+  for i in range(nseg):
+    j = (i + 1) % nseg
+    faces.append([nseg + i, nseg + j, top_pole])
+    faces.append([j, i, bot_pole])
+  return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
+
+
+def decimate(vert: np.ndarray, face: np.ndarray,
+             target_faces: int) -> tuple[np.ndarray, np.ndarray]:
+  """Vertex-clustering decimation to approximately target_faces."""
+  if face.shape[0] <= target_faces:
+    return vert, face
+  lo, hi = vert.min(0), vert.max(0)
+  extent = np.maximum(hi - lo, 1e-6)
+  # binary search grid resolution
+  for res in (64, 48, 32, 24, 16, 12, 8, 6, 4, 3):
+    cell = extent.max() / res
+    key = np.floor((vert - lo) / cell).astype(np.int64)
+    key1 = key[:, 0] * 1000000 + key[:, 1] * 1000 + key[:, 2]
+    uniq, inv = np.unique(key1, return_inverse=True)
+    # representative = mean of cluster
+    rep = np.zeros((len(uniq), 3), np.float64)
+    cnt = np.zeros(len(uniq), np.int64)
+    np.add.at(rep, inv, vert)
+    np.add.at(cnt, inv, 1)
+    rep = (rep / cnt[:, None]).astype(np.float32)
+    nf = inv[face]
+    keep = (nf[:, 0] != nf[:, 1]) & (nf[:, 1] != nf[:, 2]) & \
+        (nf[:, 0] != nf[:, 2])
+    nf = nf[keep]
+    if nf.shape[0] <= target_faces:
+      return rep, nf.astype(np.int32)
+  return rep, nf.astype(np.int32)
+
+
+# ------------------------------------------------------------- compile
+
+
+# plane half-extent fallback when size is zero (infinite plane in MJCF)
+_PLANE_DEFAULT_HALF = 5.0
+# decimation budgets: articulated arm links stay crisper than decor
+_MESH_FACE_BUDGET = 400
+
+
+def build_render_scene(model: Model, assets: Assets,
+                       mesh_face_budget: int = _MESH_FACE_BUDGET,
+                       skip_alpha_below: float = 0.01) -> RenderScene:
+  all_v, all_vg, all_f, all_fg = [], [], [], []
+  voff = 0
+  box_v, box_f = _box_mesh()
+  sph_v, sph_f = _icosphere(1)
+  rgba = np.asarray(model.geom_rgba)
+  for g in range(model.ngeom):
+    gtype = model.geom_type[g]
+    size = np.asarray(model.geom_size[g])
+    if rgba[g, 3] < skip_alpha_below:
+      continue  # statically invisible (e.g. debug crosshair handled per-env)
+    if gtype == PLANE:
+      hx = size[0] if size[0] > 0 else _PLANE_DEFAULT_HALF
+      hy = size[1] if size[1] > 0 else _PLANE_DEFAULT_HALF
+      v = np.array([[-hx, -hy, 0], [hx, -hy, 0], [hx, hy, 0], [-hx, hy, 0]],
+                   np.float32)
+      f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    elif gtype == BOX:
+      v, f = box_v * size[None, :], box_f
+    elif gtype == SPHERE:
+      v, f = sph_v * size[0], sph_f
+    elif gtype == ELLIPSOID:
+      v, f = sph_v * size[None, :], sph_f
+    elif gtype in (CAPSULE, CYLINDER):
+      v, f = _capsule_mesh(size[0], size[1])
+    elif gtype == MESH:
+      mesh = assets.meshes[model.geom_meshid[g]]
+      v, f = decimate(mesh.vert, mesh.face, mesh_face_budget)
+    else:
+      continue
+    all_v.append(v.astype(np.float32))
+    all_vg.append(np.full(v.shape[0], g, np.int32))
+    all_f.append(f.astype(np.int32) + voff)
+    all_fg.append(np.full(f.shape[0], g, np.int32))
+    voff += v.shape[0]
+  return RenderScene(
+      vert=np.concatenate(all_v),
+      vert_geom=np.concatenate(all_vg),
+      tri=np.concatenate(all_f),
+      tri_geom=np.concatenate(all_fg),
+      ngeom=model.ngeom,
+  )

@@ -1,0 +1,98 @@
+"""Rasterizer tests on the real pad2-cube2 scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geeco_tpu.core import mjcf
+from geeco_tpu.core.model import make_state, set_joint_qpos
+from geeco_tpu.physics.step import build_stepper
+from geeco_tpu.render.rasterizer import build_renderer
+
+
+@pytest.fixture(scope='module')
+def rendered():
+  model, assets = mjcf.load_model(
+      '/root/reference/assets/gym/envs/geeco-pad2-cube2.xml')
+  st = build_stepper(model)
+  state = st.init_state(make_state(model))
+  qpos = state.qpos
+  for name, val in (('robot0:slide0', 0.405), ('robot0:slide1', 0.48),
+                    ('robot0:slide2', 0.0)):
+    qpos = set_joint_qpos(model, qpos, name, val)
+  for name, xy in (('object0:joint', (1.3, 0.6)),
+                   ('object1:joint', (1.3, 0.9)),
+                   ('goal0:joint', (1.45, 0.6)),
+                   ('goal1:joint', (1.45, 0.9))):
+    z = 0.3075 if name.startswith('object') else 0.296
+    qpos = set_joint_qpos(model, qpos, name,
+                          jnp.array([xy[0], xy[1], z, 1, 0, 0, 0]))
+  state = state.replace(qpos=qpos)
+  kin = st.fk(state)
+  r = build_renderer(model, assets)
+  # recolor the task objects like env reset does (pickplace.py:386-425)
+  rgba = model.geom_rgba
+  rgba = rgba.at[model.geom('object0')].set(jnp.array([1, 0, 0, 1.0]))
+  rgba = rgba.at[model.geom('goal0')].set(jnp.array([0, 0, 1, 1.0]))
+  rgb, depth = jax.jit(r.render)(kin, rgba)
+  return model, r, np.asarray(rgb), np.asarray(depth)
+
+
+def test_shapes_and_types(rendered):
+  _, _, rgb, depth = rendered
+  assert rgb.shape == (256, 256, 3) and rgb.dtype == np.uint8
+  assert depth.shape == (256, 256) and np.isfinite(depth).all()
+
+
+def test_sky_at_top(rendered):
+  _, r, rgb, depth = rendered
+  # top rows are sky (or far wall) — depth far, greenish-gray
+  assert depth[0].min() > 1.0
+  # some top-left pixels miss all geometry -> sky color
+  sky = np.array(r.sky_rgb) * 255
+  corner = rgb[0, 0]
+  assert np.all(np.abs(corner.astype(int) - sky.astype(int)) < 60) or \
+      depth[0, 0] < r.zfar  # wall hit is fine too
+
+
+def test_scene_content_visible(rendered):
+  _, _, rgb, depth = rendered
+  # the image must not be a single flat color
+  assert rgb.reshape(-1, 3).std(axis=0).mean() > 10
+  # red object0 pixels exist (recolored at reset)
+  red = (rgb[:, :, 0] > 150) & (rgb[:, :, 1] < 90) & (rgb[:, :, 2] < 90)
+  assert red.sum() > 5, f'red cube not visible ({red.sum()} px)'
+  # blue goal pad pixels exist
+  blue = (rgb[:, :, 2] > 120) & (rgb[:, :, 0] < 90)
+  assert blue.sum() > 5, f'blue pad not visible ({blue.sum()} px)'
+
+
+def test_depth_orders_scene(rendered):
+  _, _, rgb, depth = rendered
+  # table region (lower half center) closer than top rows
+  assert depth[200, 128] < depth[5, 128]
+
+
+def test_visibility_mask(rendered):
+  model, r, rgb, _ = rendered
+  # hiding every object geom removes red pixels
+  rgba = model.geom_rgba
+  rgba = rgba.at[model.geom('object0')].set(jnp.array([1, 0, 0, 0.0]))
+  st_kin_rgb, _ = jax.jit(r.render)(_kin_of(model), rgba)
+  red = (np.asarray(st_kin_rgb)[:, :, 0] > 150) & \
+      (np.asarray(st_kin_rgb)[:, :, 1] < 90)
+  assert red.sum() <= 5
+
+
+def _kin_of(model):
+  from geeco_tpu.physics.step import build_stepper
+  st = build_stepper(model)
+  state = st.init_state(make_state(model))
+  qpos = state.qpos
+  for name, val in (('robot0:slide0', 0.405), ('robot0:slide1', 0.48),
+                    ('robot0:slide2', 0.0)):
+    qpos = set_joint_qpos(model, qpos, name, val)
+  qpos = set_joint_qpos(model, qpos, 'object0:joint',
+                        jnp.array([1.3, 0.6, 0.3075, 1, 0, 0, 0]))
+  return st.fk(state.replace(qpos=qpos))
