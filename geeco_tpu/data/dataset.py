@@ -1,0 +1,188 @@
+"""Dataset input pipeline: episode archives -> (feature, label) windows.
+
+Behavioral parity with the reference tf.data pipeline
+``pickplace_input_fn_v4`` (reference: src/data/geeco_gym.py:401-474):
+  parse -> stack state vectors (_preprocess_states_v4, :317-371)
+        -> roll(-1) command targets, drop last frame (_preprocess_targets_v3,
+           :598-613)
+        -> sliding windows of K frames (_window_v3, :615-631)
+        -> (feature, label) tuples (_prepare_v4, :373-399)
+        -> shuffle, batch, prefetch.
+
+Host-side numpy feeding jnp device batches; the TPU training step consumes
+fixed-shape batches so the whole train loop stays jit-compiled.
+
+Expected directory layout (identical to the reference):
+  <dataset_dir>/meta/meta_info.json
+  <dataset_dir>/data/replay_buffer_*.npz (+ .json context sidecars)
+  <dataset_dir>/splits/<split_name>/{train,eval,test}.txt
+  <dataset_dir>/images/targets/{rgb/*.png, depth/*.npy}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .episode import load_episode_npz
+
+ARM_JOINTS = (
+    'robot0:shoulder_pan_joint', 'robot0:shoulder_lift_joint',
+    'robot0:upperarm_roll_joint', 'robot0:elbow_flex_joint',
+    'robot0:forearm_roll_joint', 'robot0:wrist_flex_joint',
+    'robot0:wrist_roll_joint')
+FINGER_JOINTS = ('robot0:l_gripper_finger_joint',
+                 'robot0:r_gripper_finger_joint')
+
+
+def get_meta(dataset_dir: str) -> Dict:
+  with open(os.path.join(dataset_dir, 'meta', 'meta_info.json')) as fp:
+    return json.load(fp)
+
+
+def list_records(dataset_dir: str, split_name: Optional[str] = None,
+                 mode: Optional[str] = None) -> List[str]:
+  """Record paths, optionally filtered by a split file."""
+  data_dir = os.path.join(dataset_dir, 'data')
+  if split_name and mode:
+    split_file = os.path.join(dataset_dir, 'splits', split_name,
+                              f'{mode}.txt')
+    with open(split_file) as fp:
+      names = [l.strip() for l in fp if l.strip()]
+    return [os.path.join(data_dir, _npz_name(n)) for n in names]
+  return sorted(
+      os.path.join(data_dir, f) for f in os.listdir(data_dir)
+      if f.endswith('.npz'))
+
+
+def _npz_name(record_name: str) -> str:
+  base = os.path.basename(record_name).split('.')[0]
+  return base + '.npz'
+
+
+# -------------------------------------------------------------- transforms
+
+
+def preprocess_states(ep: Dict) -> Dict:
+  """Stack per-joint scalars into state vectors (_preprocess_states_v4)."""
+  out = {
+      'step': ep['step'].astype(np.int64),
+      'ts': ep['ts'].astype(np.float32),
+      'cmd': ep['cmd'].astype(np.float32),
+      'ctrl': ep['ctrl'].astype(np.float32),
+      'ee_state': ep['mocap_qpos-robot0:mocap'].astype(np.float32),
+      'goal_state': ep['goal_qpos'].astype(np.float32),
+      'obj_state': ep['obj_qpos'].astype(np.float32),
+  }
+  if 'rgb' in ep:
+    rgb = ep['rgb']
+    out['rgb'] = (rgb.astype(np.float32) / 255.0
+                  if rgb.dtype == np.uint8 else rgb.astype(np.float32))
+    out['depth'] = ep['depth'].astype(np.float32)[..., None] \
+        if ep['depth'].ndim == 3 else ep['depth'].astype(np.float32)
+  out['jnt_state'] = np.stack(
+      [ep[f'joint_qpos-{j}'] for j in ARM_JOINTS], axis=1).astype(np.float32)
+  out['vel_state'] = np.stack(
+      [ep[f'joint_qvel-{j}'] for j in ARM_JOINTS], axis=1).astype(np.float32)
+  out['grp_state'] = np.stack(
+      [ep[f'joint_qpos-{j}'] for j in FINGER_JOINTS],
+      axis=1).astype(np.float32)
+  return out
+
+
+def preprocess_targets(ex: Dict) -> Dict:
+  """roll(-1) next-frame targets, drop last frame (_preprocess_targets_v3)."""
+  ex = dict(ex)
+  ex['vel_target'] = np.roll(ex['vel_state'], -1, axis=0)
+  ex['ee_target'] = np.roll(ex['ee_state'], -1, axis=0)
+  ex['grp_target'] = np.roll(ex['grp_state'], -1, axis=0)
+  for k in list(ex.keys()):
+    if k not in ('target_rgb', 'target_depth'):
+      ex[k] = ex[k][:-1]
+  return ex
+
+
+def make_windows(ex: Dict, window_size: int = 4) -> Dict:
+  """Sliding windows (_window_v3): [T] -> [T-K+1, K, ...]."""
+  T = ex['step'].shape[0]
+  n_win = T - window_size + 1
+  idx = np.arange(n_win)[:, None] + np.arange(window_size)[None, :]
+  out = {}
+  for k, v in ex.items():
+    if k in ('target_rgb', 'target_depth'):
+      out[k] = np.broadcast_to(v, (n_win,) + v.shape)
+    else:
+      out[k] = v[idx]
+  return out
+
+
+def prepare(win: Dict, fetch_target: bool = False):
+  """(feature, label) tuples (_prepare_v4)."""
+  feature_keys = ('step', 'ts', 'jnt_state', 'vel_state', 'ee_state',
+                  'grp_state', 'goal_state', 'obj_state', 'cmd', 'ctrl')
+  feature = {k: win[k] for k in feature_keys if k in win}
+  for k in ('rgb', 'depth'):
+    if k in win:
+      feature[k] = win[k]
+  if fetch_target:
+    feature['target_rgb'] = win['target_rgb']
+    if 'target_depth' in win:
+      feature['target_depth'] = win['target_depth']
+  label = {
+      'cmd': win['cmd'][:, -1],
+      'ctrl': win['ctrl'][:, -1],
+      'vel_target': win['vel_target'][:, -1],
+      'ee_target': win['ee_target'][:, -1],
+      'grp_target': win['grp_target'][:, -1],
+  }
+  return feature, label
+
+
+def episode_windows(path: str, window_size: int = 4,
+                    fetch_target: bool = False):
+  """Full per-episode transform chain -> (features, labels) window arrays."""
+  ep, _ = load_episode_npz(path)
+  ex = preprocess_states(ep)
+  if fetch_target:
+    # target frame = last frame of the episode (_parse_v4 fetch_target)
+    if 'rgb' in ex:
+      ex['target_rgb'] = ex['rgb'][-1]
+      ex['target_depth'] = ex['depth'][-1]
+  ex = preprocess_targets(ex)
+  win = make_windows(ex, window_size)
+  return prepare(win, fetch_target)
+
+
+# -------------------------------------------------------------- iterator
+
+
+def input_pipeline(dataset_dir: str, split_name: str, mode: str,
+                   window_size: int = 4, fetch_target: bool = False,
+                   batch_size: int = 32, num_epochs: int = 1,
+                   shuffle: bool = True, seed: Optional[int] = None,
+                   drop_remainder: bool = True) -> Iterator:
+  """Yields (feature, label) dict batches; sequential windows within an
+  episode keep their order inside a batch slot (the LSTM state-carry
+  training semantics, see models/e2evmc).
+  """
+  rng = np.random.RandomState(seed)
+  paths = list_records(dataset_dir, split_name, mode)
+  if not paths:
+    raise FileNotFoundError(
+        f'no records for {dataset_dir} split={split_name} mode={mode}')
+  for _ in range(num_epochs):
+    order = rng.permutation(len(paths)) if shuffle else np.arange(len(paths))
+    buf_f, buf_l = [], []
+    for pi in order:
+      f, l = episode_windows(paths[pi], window_size, fetch_target)
+      n = f['step'].shape[0]
+      for s in range(0, n, batch_size):
+        fb = {k: v[s:s + batch_size] for k, v in f.items()}
+        lb = {k: v[s:s + batch_size] for k, v in l.items()}
+        if fb['step'].shape[0] < batch_size:
+          if drop_remainder:
+            continue
+        yield fb, lb

@@ -1,0 +1,89 @@
+"""E2E-VMC hyper-parameter config.
+
+Field/default parity with the reference config (src/models/e2evmc/params.py:
+7-28) plus TPU-specific knobs (compute dtype).  JSON persistence matches
+save_model_config/load_model_config (src/models/e2evmc/utils.py:16-27) so a
+resumed run cannot silently change architecture
+(scripts/train_e2evmc.py:229-252).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import json
+from typing import Any, Dict
+
+E2E_VMC_DEFAULT_PARAM_DICT: Dict[str, Any] = {
+    'img_height': 256,
+    'img_width': 256,
+    'img_channels': 3,
+    'dim_jnt_state': 7,
+    'dim_grp_command': 2,
+    'control_mode': 'cartesian',   # cartesian | velocity
+    'num_grp_states': 3,           # close / no-op / open
+    'dim_action': 4,
+    'proc_obs': 'sequence',        # sequence | dynimg
+    'proc_tgt': 'constant',        # constant | residual | dyndiff
+    'dim_s_obs': 256,
+    'dim_s_dyn': 256,
+    'dim_s_diff': 256,
+    'dim_h_lstm': 128,
+    'dim_h_fc': 128,
+    'window_size': 4,
+    'l2_regularizer': 0.0,
+    'lambda_aux': 1.0,
+    'batch_size': 32,
+    'lr': 1e-4,
+    # TPU-native additions
+    'compute_dtype': 'bfloat16',   # conv/LSTM compute precision
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class E2EVMCConfig:
+  img_height: int = 256
+  img_width: int = 256
+  img_channels: int = 3
+  dim_jnt_state: int = 7
+  dim_grp_command: int = 2
+  control_mode: str = 'cartesian'
+  num_grp_states: int = 3
+  dim_action: int = 4
+  proc_obs: str = 'sequence'
+  proc_tgt: str = 'constant'
+  dim_s_obs: int = 256
+  dim_s_dyn: int = 256
+  dim_s_diff: int = 256
+  dim_h_lstm: int = 128
+  dim_h_fc: int = 128
+  window_size: int = 4
+  l2_regularizer: float = 0.0
+  lambda_aux: float = 1.0
+  batch_size: int = 32
+  lr: float = 1e-4
+  compute_dtype: str = 'bfloat16'
+
+  def asdict(self) -> Dict[str, Any]:
+    return dataclasses.asdict(self)
+
+
+E2E_VMC_DEFAULT_CONFIG = E2EVMCConfig()
+
+
+def create_e2evmc_config(custom_params: Dict[str, Any]) -> E2EVMCConfig:
+  """Merge custom params over defaults (reference create_e2evmc_config)."""
+  params = copy.deepcopy(E2E_VMC_DEFAULT_PARAM_DICT)
+  for k in set(custom_params) & set(params):
+    params[k] = custom_params[k]
+  return E2EVMCConfig(**params)
+
+
+def save_model_config(config: E2EVMCConfig, path: str):
+  with open(path, 'w') as fp:
+    json.dump(config.asdict(), fp, indent=2, sort_keys=True)
+
+
+def load_model_config(path: str) -> E2EVMCConfig:
+  with open(path) as fp:
+    return create_e2evmc_config(json.load(fp))

@@ -1,0 +1,51 @@
+"""Pick-and-place CLI: collect / replay / random / controller.
+
+Flag-compatible counterpart of the reference script
+(scripts/gym_pickplace.py:49-131).  Usage:
+  python -m geeco_tpu.run.gym_pickplace --sim_mode collect \
+      --rendering_mode tfrecord --shapes pad2-cube2 --end_idx 10
+"""
+
+import argparse
+
+from . import sim
+
+ARGPARSER = argparse.ArgumentParser(
+    description='Collect data for a pick-and-place task with a Fetch robot '
+                '(TPU-native GEECO).')
+ARGPARSER.add_argument('--wrk_dir', type=str,
+                       default='../logs/gym_pickplace')
+ARGPARSER.add_argument('--shapes', type=str, default='pad2-cube2',
+                       help='pad1-cube1 | pad2-cube1 | pad1-cube2 | '
+                            'pad2-cube2 | pad2-cube2-clutter4 | '
+                            'pad2-cube2-clutter12 | ball-cup | bridge-pad | '
+                            'diamond-pad | nut-cone')
+ARGPARSER.add_argument('--sim_mode', type=str, default='collect',
+                       help='collect | replay | random | controller')
+ARGPARSER.add_argument('--max_episode_steps', type=int, default=-1)
+ARGPARSER.add_argument('--dry_run', default=False, action='store_true')
+ARGPARSER.add_argument('--init_states', type=str, default='')
+ARGPARSER.add_argument('--start_idx', type=int, default=0)
+ARGPARSER.add_argument('--end_idx', type=int, default=100)
+ARGPARSER.add_argument('--replay_buffer', type=str, default='')
+ARGPARSER.add_argument('--controller', type=str, default='e2evmc')
+ARGPARSER.add_argument('--goal_condition', type=str, default='none',
+                       help='none | target')
+ARGPARSER.add_argument('--model_dir', type=str, default='')
+ARGPARSER.add_argument('--checkpoint_name', type=str, default=None)
+ARGPARSER.add_argument('--dataset_dir', type=str, default='')
+ARGPARSER.add_argument('--tfrecord_list', type=str, default='')
+ARGPARSER.add_argument('--background_video', type=str, default='')
+ARGPARSER.add_argument('--rendering_mode', type=str, default='tfrecord',
+                       help='video | tfrecord')
+ARGPARSER.add_argument('--frame_res', type=int, nargs=2, default=[256, 256])
+ARGPARSER.add_argument('--observation_format', type=str, default='rgb')
+ARGPARSER.add_argument('--num_envs', type=int, default=1,
+                       help='TPU extension: vectorized env batch')
+ARGPARSER.add_argument('--seed', type=int, default=0)
+ARGPARSER.add_argument('--debug', default=False, action='store_true')
+
+if __name__ == '__main__':
+  args, _ = ARGPARSER.parse_known_args()
+  args._parser = ARGPARSER
+  sim.main(args)

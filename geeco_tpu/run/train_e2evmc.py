@@ -1,0 +1,171 @@
+"""E2E-VMC training CLI.
+
+Counterpart of the reference trainer (scripts/train_e2evmc.py:22-302):
+epoch-wise train/eval over the window pipeline, goal_condition dispatch,
+config JSON persistence with load-if-exists precedence (a resumed run
+cannot silently change architecture, :229-252), rolling checkpoints and the
+best-K snapshot manager.  Metrics stream to a metrics.jsonl in the model
+dir (this image has no TensorBoard; the reference used SummarySaverHooks,
+estimator.py:305-313).
+
+TPU: the train step is jit-compiled once; --num_devices > 1 shards the
+batch across a 1-d 'data' mesh (DP over ICI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+ARGPARSER = argparse.ArgumentParser(description='Train E2E-VMC (TPU-native).')
+ARGPARSER.add_argument('--model_dir', type=str, default='../models/e2evmc')
+ARGPARSER.add_argument('--dataset_dir', type=str, required=False,
+                       default='../data/gym-pick-pad2-cube2-v4')
+ARGPARSER.add_argument('--split_name', type=str, default='default')
+ARGPARSER.add_argument('--goal_condition', type=str, default='none',
+                       help='none | target')
+ARGPARSER.add_argument('--control_mode', type=str, default='cartesian')
+ARGPARSER.add_argument('--proc_obs', type=str, default='sequence')
+ARGPARSER.add_argument('--proc_tgt', type=str, default='constant')
+ARGPARSER.add_argument('--observation_format', type=str, default='rgb')
+ARGPARSER.add_argument('--window_size', type=int, default=4)
+ARGPARSER.add_argument('--batch_size', type=int, default=32)
+ARGPARSER.add_argument('--lr', type=float, default=1e-4)
+ARGPARSER.add_argument('--lambda_aux', type=float, default=1.0)
+ARGPARSER.add_argument('--num_epochs', type=int, default=10)
+ARGPARSER.add_argument('--ckpt_steps', type=int, default=10000)
+ARGPARSER.add_argument('--num_last_ckpt', type=int, default=2)
+ARGPARSER.add_argument('--num_best_ckpt', type=int, default=3)
+ARGPARSER.add_argument('--log_steps', type=int, default=100)
+ARGPARSER.add_argument('--num_devices', type=int, default=1)
+ARGPARSER.add_argument('--seed', type=int, default=0)
+ARGPARSER.add_argument('--max_steps_per_epoch', type=int, default=-1)
+
+
+def main(args):
+  import jax
+  import jax.numpy as jnp
+  from ..data.dataset import input_pipeline
+  from ..models import snapshots
+  from ..models.params import (create_e2evmc_config, load_model_config,
+                               save_model_config)
+  from ..models.train import make_train_fns, shard_batch
+  from ..utils.runscript import save_run_command
+
+  os.makedirs(args.model_dir, exist_ok=True)
+  save_run_command(argparser=args._parser, run_dir=args.model_dir)
+
+  # --- config: load-if-exists precedence (train_e2evmc.py:229-252)
+  config_path = os.path.join(args.model_dir, 'e2evmc_config.json')
+  if os.path.exists(config_path):
+    config = load_model_config(config_path)
+    print(f'>>> Loaded existing model config from {config_path}')
+  else:
+    config = create_e2evmc_config({
+        'control_mode': args.control_mode,
+        'proc_obs': args.proc_obs,
+        'proc_tgt': args.proc_tgt,
+        'img_channels': 4 if args.observation_format == 'rgbd' else 3,
+        'window_size': args.window_size,
+        'batch_size': args.batch_size,
+        'lr': args.lr,
+        'lambda_aux': args.lambda_aux,
+    })
+    save_model_config(config, config_path)
+    print(f'>>> Saved model config to {config_path}')
+
+  goal_conditioned = args.goal_condition == 'target'
+  init_fn, train_step, eval_step, _ = make_train_fns(config,
+                                                     goal_conditioned)
+  ts = init_fn(jax.random.PRNGKey(args.seed), config.batch_size)
+
+  # resume from latest checkpoint if present
+  latest = snapshots.latest_checkpoint(args.model_dir)
+  if latest:
+    ts = ts.replace(params=snapshots.restore_params(latest, ts.params))
+    print(f'>>> Resumed params from {latest}')
+
+  mesh = None
+  if args.num_devices > 1:
+    from jax.sharding import Mesh
+    devices = np.asarray(jax.devices()[:args.num_devices])
+    mesh = Mesh(devices, ('data',))
+    print(f'>>> data-parallel over {args.num_devices} devices')
+
+  train_step = jax.jit(train_step, donate_argnums=0)
+  eval_step = jax.jit(eval_step)
+
+  metrics_path = os.path.join(args.model_dir, 'metrics.jsonl')
+  metrics_log = open(metrics_path, 'a')
+  global_step = int(ts.step)
+
+  def to_device(batch):
+    f, l = batch
+    if mesh is not None:
+      return shard_batch(f, mesh), shard_batch(l, mesh)
+    return (jax.tree.map(jnp.asarray, f), jax.tree.map(jnp.asarray, l))
+
+  for epoch in range(args.num_epochs):
+    # ---- train
+    t0 = time.time()
+    n_steps = 0
+    for batch in input_pipeline(
+        args.dataset_dir, args.split_name, 'train',
+        window_size=config.window_size, fetch_target=goal_conditioned,
+        batch_size=config.batch_size, num_epochs=1, seed=args.seed + epoch):
+      f, l = to_device(batch)
+      ts, m = train_step(ts, f, l)
+      global_step += 1
+      n_steps += 1
+      if global_step % args.log_steps == 0:
+        rec = {k: float(v) for k, v in m.items()}
+        rec.update(step=global_step, epoch=epoch, split='train')
+        metrics_log.write(json.dumps(rec) + '\n')
+        metrics_log.flush()
+        print(f'step {global_step}: loss={rec["loss"]:.5f}')
+      if global_step % args.ckpt_steps == 0:
+        snapshots.save_checkpoint(args.model_dir, global_step, ts.params,
+                                  keep_last=args.num_last_ckpt)
+      if 0 < args.max_steps_per_epoch <= n_steps:
+        break
+    sps = n_steps / max(time.time() - t0, 1e-9)
+    print(f'epoch {epoch}: {n_steps} steps, {sps:.2f} steps/s')
+
+    # ---- eval + snapshot export (train_e2evmc.py:288-291, 143-205)
+    eval_losses = []
+    n_eval = 0
+    for batch in input_pipeline(
+        args.dataset_dir, args.split_name, 'eval',
+        window_size=config.window_size, fetch_target=goal_conditioned,
+        batch_size=config.batch_size, num_epochs=1, shuffle=False):
+      f, l = to_device(batch)
+      m = eval_step(ts, f, l)
+      eval_losses.append(float(m['loss']))
+      n_eval += 1
+      if 0 < args.max_steps_per_epoch <= n_eval:
+        break
+    if eval_losses:
+      eval_loss = float(np.mean(eval_losses))
+      rec = {'step': global_step, 'epoch': epoch, 'split': 'eval',
+             'loss': eval_loss}
+      metrics_log.write(json.dumps(rec) + '\n')
+      metrics_log.flush()
+      snapshots.save_checkpoint(args.model_dir, global_step, ts.params,
+                                keep_last=args.num_last_ckpt)
+      snapshots.export_snapshot(args.model_dir, eval_loss,
+                                num_best=args.num_best_ckpt)
+      print(f'epoch {epoch}: eval_loss={eval_loss:.5f}')
+  snapshots.save_checkpoint(args.model_dir, global_step, ts.params,
+                            keep_last=args.num_last_ckpt)
+  metrics_log.close()
+  return ts
+
+
+if __name__ == '__main__':
+  args, _ = ARGPARSER.parse_known_args()
+  args._parser = ARGPARSER
+  main(args)
