@@ -82,10 +82,13 @@ def run_collect(args):
   with_frames = args.rendering_mode == 'tfrecord'
   record_fn = make_record_fn(env, with_frames=with_frames)
 
-  # dataset meta (gym_pickplace.py:744-747)
-  meta_path = os.path.join(wrk_dir, 'meta_info.json')
-  with open(meta_path, 'w') as fp:
-    json.dump(meta_info_dict(env), fp, indent=2, sort_keys=True)
+  # dataset meta (gym_pickplace.py:744-747); also placed under meta/ to
+  # form a ready-to-train dataset directory (geeco_gym.py:283-289 layout)
+  for meta_path in (os.path.join(wrk_dir, 'meta_info.json'),
+                    os.path.join(wrk_dir, 'meta', 'meta_info.json')):
+    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+    with open(meta_path, 'w') as fp:
+      json.dump(meta_info_dict(env), fp, indent=2, sort_keys=True)
 
   episode_steps = (args.max_episode_steps if args.max_episode_steps > 0
                    else EPISODE_STEPS_COLLECT)
