@@ -53,6 +53,7 @@ class ConstraintStatic(NamedTuple):
   lim_solref: np.ndarray    # [nlim, 2]
   lim_solimp: np.ndarray    # [nlim, 3]
   invweight: np.ndarray     # [ne] reference-pose inverse weight per row
+  ncon_sel: int             # active-set size (top-K contacts solved)
 
 
 def _body_invweights(model: Model, anc_mask: np.ndarray) -> np.ndarray:
@@ -91,9 +92,11 @@ def _dof_invweights(model: Model, anc_mask: np.ndarray) -> np.ndarray:
   return np.diag(Minv).astype(np.float32)
 
 
-def constraint_static(model: Model, anc_mask: np.ndarray) -> ConstraintStatic:
+def constraint_static(model: Model, anc_mask: np.ndarray,
+                      select_k: int = 128) -> ConstraintStatic:
   b1, b2, fric, solref, solimp, condim = C.contact_params(model)
   ncon = len(b1)
+  ncon_sel = min(ncon, select_k) if select_k else ncon
   lim_dof, lim_qadr, lim_range, lim_solref, lim_solimp = [], [], [], [], []
   for j in range(model.njnt):
     if model.jnt_limited[j]:
@@ -133,14 +136,19 @@ def constraint_static(model: Model, anc_mask: np.ndarray) -> ConstraintStatic:
       lim_solref=np.asarray(lim_solref, np.float32).reshape(nlim, 2),
       lim_solimp=np.asarray(lim_solimp, np.float32).reshape(nlim, 3),
       invweight=invweight,
+      ncon_sel=ncon_sel,
   )
 
 
 class Constraints(NamedTuple):
-  J: jax.Array       # [ne, nv]
-  aref: jax.Array    # [ne]
-  d_imp: jax.Array   # [ne] impedance in (0, 1)
-  active: jax.Array  # [ne] bool — clamped rows only meaningful when active
+  J: jax.Array       # [ne_sel, nv]
+  aref: jax.Array    # [ne_sel]
+  d_imp: jax.Array   # [ne_sel] impedance in (0, 1)
+  active: jax.Array  # [ne_sel] bool — clamped rows only meaningful if active
+  invweight: jax.Array  # [ne_sel] reference-pose inverse weight per row
+  mu_t: jax.Array    # [K] tangential friction per selected contact
+  mu_tor: jax.Array  # [K] torsional friction per selected contact
+  sel_idx: jax.Array  # [K] selected contact indices into the full set
 
 
 def impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
@@ -175,50 +183,66 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
                      anc_mask: np.ndarray) -> Constraints:
   info = smooth.info
   nv = model.nv
-  J_rows, aref_rows, d_rows, active_rows = [], [], [], []
+  J_rows, aref_rows, d_rows, active_rows, invw_rows = [], [], [], [], []
+  mu_t = jnp.zeros(0)
+  mu_tor = jnp.zeros(0)
+  sel_idx = jnp.zeros(0, jnp.int32)
 
-  # ---------------- contacts ----------------
+  # ---------------- contacts (top-K active selection) ----------------
+  # Most of the statically-enumerated candidate points are inactive at any
+  # instant; the solver's memory traffic scales with rows, so we gather the
+  # K deepest candidates and solve only those (TPU-native active set).
   if cs.ncon:
-    mask1 = jnp.asarray(anc_mask[cs.con_body1])  # [ncon, nv]
-    mask2 = jnp.asarray(anc_mask[cs.con_body2])
-    pts = contacts.pos
-    r = pts[:, None, :] - info.anchor[None, :, :]  # [ncon, nv, 3]
+    K = cs.ncon_sel
+    _, sel_idx = jax.lax.top_k(-contacts.dist, K)
+    pts = contacts.pos[sel_idx]
+    n = contacts.normal[sel_idx]
+    dist = contacts.dist[sel_idx]
+    body1 = jnp.asarray(cs.con_body1)[sel_idx]
+    body2 = jnp.asarray(cs.con_body2)[sel_idx]
+    friction = jnp.asarray(cs.con_friction)[sel_idx]
+    solimp = jnp.asarray(cs.con_solimp)[sel_idx]
+    solref = jnp.asarray(cs.con_solref)[sel_idx]
+    tor_on = jnp.asarray((cs.con_condim >= 4).astype(np.float32))[sel_idx]
+    inv_t = jnp.asarray(cs.invweight[:cs.ncon])[sel_idx]
+    inv_r = jnp.asarray(cs.invweight[3 * cs.ncon:4 * cs.ncon])[sel_idx]
+    mu_t = friction[:, 0]
+    mu_tor = friction[:, 1]
+
+    anc = jnp.asarray(anc_mask)
+    mask1 = anc[body1]  # [K, nv]
+    mask2 = anc[body2]
+    r = pts[:, None, :] - info.anchor[None, :, :]  # [K, nv, 3]
     axis = jnp.broadcast_to(info.axis[None], r.shape)
     jp = (info.is_trans[None, :, None] * axis +
           info.is_rot[None, :, None] * jnp.cross(axis, r))
-    Jp_rel = (mask2 - mask1)[:, :, None] * jp                # [ncon, nv, 3]
+    Jp_rel = (mask2 - mask1)[:, :, None] * jp                # [K, nv, 3]
     Jr_rel = ((mask2 - mask1)[:, :, None] *
-              info.is_rot[None, :, None] * axis)             # [ncon, nv, 3]
+              info.is_rot[None, :, None] * axis)             # [K, nv, 3]
 
-    n = contacts.normal
     t1, t2 = _tangent_frame(n)
     J_n = jnp.einsum('cvi,ci->cv', Jp_rel, n)
     J_t1 = jnp.einsum('cvi,ci->cv', Jp_rel, t1)
     J_t2 = jnp.einsum('cvi,ci->cv', Jp_rel, t2)
-    J_tor = jnp.einsum('cvi,ci->cv', Jr_rel, n)
-    # condim 3 rows have no torsional coupling
-    tor_on = jnp.asarray((cs.con_condim >= 4).astype(np.float32))
-    J_tor = J_tor * tor_on[:, None]
+    J_tor = jnp.einsum('cvi,ci->cv', Jr_rel, n) * tor_on[:, None]
 
-    solimp = jnp.asarray(cs.con_solimp)
-    solref = jnp.asarray(cs.con_solref)
-    d_con = impedance(solimp, contacts.dist)                  # [ncon]
+    d_con = impedance(solimp, dist)                           # [K]
     k, b = _kb(solref, d_con, solimp[:, 1])
 
     qvel = state.qvel
-    v_n = J_n @ qvel
-    aref_n = -b * v_n - k * jnp.minimum(contacts.dist, 0.0)
+    aref_n = -b * (J_n @ qvel) - k * jnp.minimum(dist, 0.0)
     aref_t1 = -b * (J_t1 @ qvel)
     aref_t2 = -b * (J_t2 @ qvel)
     aref_tor = -b * (J_tor @ qvel)
 
-    act = contacts.dist < 0.0
-    for Jr, ar in ((J_n, aref_n), (J_t1, aref_t1), (J_t2, aref_t2),
-                   (J_tor, aref_tor)):
+    act = dist < 0.0
+    for Jr, ar, iw in ((J_n, aref_n, inv_t), (J_t1, aref_t1, inv_t),
+                       (J_t2, aref_t2, inv_t), (J_tor, aref_tor, inv_r)):
       J_rows.append(Jr)
       aref_rows.append(ar)
       d_rows.append(d_con)
       active_rows.append(act)
+      invw_rows.append(iw)
 
   # ---------------- joint limits ----------------
   if cs.nlim:
@@ -229,6 +253,7 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
     e = e.at[jnp.arange(cs.nlim), jnp.asarray(cs.lim_dof)].set(1.0)
     solimp = jnp.asarray(cs.lim_solimp)
     solref = jnp.asarray(cs.lim_solref)
+    lim_invw = jnp.asarray(cs.invweight[4 * cs.ncon:4 * cs.ncon + cs.nlim])
     for pos, Jr in (((qp - lo), e), ((hi - qp), -e)):
       d_l = impedance(solimp, jnp.minimum(pos, 0.0))
       k, b = _kb(solref, d_l, solimp[:, 1])
@@ -238,6 +263,7 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
       aref_rows.append(aref)
       d_rows.append(d_l)
       active_rows.append(pos < 0.0)
+      invw_rows.append(lim_invw)
 
   # ---------------- weld equalities ----------------
   for e_i in range(model.neq):
@@ -270,22 +296,28 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
     aref_rows.append(aref)
     d_rows.append(d_e6)
     active_rows.append(jnp.ones(6, bool))
+    invw_rows.append(jnp.asarray(
+        cs.invweight[4 * cs.ncon + 2 * cs.nlim + 6 * e_i:
+                     4 * cs.ncon + 2 * cs.nlim + 6 * (e_i + 1)]))
 
   if not J_rows:
-    return Constraints(J=jnp.zeros((0, nv)), aref=jnp.zeros(0),
-                       d_imp=jnp.zeros(0), active=jnp.zeros(0, bool))
+    z = jnp.zeros(0)
+    return Constraints(J=jnp.zeros((0, nv)), aref=z, d_imp=z,
+                       active=jnp.zeros(0, bool), invweight=z, mu_t=z,
+                       mu_tor=z, sel_idx=jnp.zeros(0, jnp.int32))
 
   return Constraints(
       J=jnp.concatenate([j.reshape(-1, nv) for j in J_rows]),
       aref=jnp.concatenate([a.reshape(-1) for a in aref_rows]),
       d_imp=jnp.concatenate([d.reshape(-1) for d in d_rows]),
       active=jnp.concatenate([a.reshape(-1) for a in active_rows]),
+      invweight=jnp.concatenate([w.reshape(-1) for w in invw_rows]),
+      mu_t=mu_t, mu_tor=mu_tor, sel_idx=sel_idx,
   )
 
 
-def _row_order(cs: ConstraintStatic) -> dict:
-  """Index ranges of each row family in the concatenated layout."""
-  ncon, nlim, neq = cs.ncon, cs.nlim, cs.neq
+def _row_order(ncon: int, nlim: int, neq: int) -> dict:
+  """Index ranges of each row family in a concatenated layout."""
   off = 0
   out = {}
   out['con_n'] = (off, off + ncon); off += ncon
@@ -297,50 +329,72 @@ def _row_order(cs: ConstraintStatic) -> dict:
   return out
 
 
+def gather_warmstart(cs: ConstraintStatic, con: Constraints,
+                     warm_full: jax.Array) -> jax.Array:
+  """Map a full-layout warmstart vector onto the selected-row layout."""
+  K = cs.ncon_sel
+  parts = []
+  for g in range(4):  # contact groups
+    parts.append(warm_full[g * cs.ncon + con.sel_idx])
+  parts.append(warm_full[4 * cs.ncon:])  # limits + welds
+  return jnp.concatenate(parts) if parts else warm_full
+
+
+def scatter_forces(cs: ConstraintStatic, con: Constraints,
+                   f_sel: jax.Array) -> jax.Array:
+  """Selected-row forces -> full-layout vector (for warmstart carry)."""
+  K = cs.ncon_sel
+  f_full = jnp.zeros(cs.ne)
+  for g in range(4):
+    f_full = f_full.at[g * cs.ncon + con.sel_idx].set(
+        f_sel[g * K:(g + 1) * K])
+  f_full = f_full.at[4 * cs.ncon:].set(f_sel[4 * K:])
+  return f_full
+
+
 def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
           con: Constraints, warmstart: jax.Array | None,
           iterations: int = 50) -> Tuple[jax.Array, jax.Array]:
-  """Projected-gradient solve; returns (f [ne], qacc [nv])."""
-  ne = con.J.shape[0]
-  if ne == 0:
-    return jnp.zeros(0), smooth.qacc_smooth
+  """Projected-gradient solve; returns (f_full [ne], qacc [nv])."""
+  ne_sel = con.J.shape[0]
+  if ne_sel == 0:
+    return jnp.zeros(cs.ne), smooth.qacc_smooth
 
   chol = (smooth.chol, False)
-  X = jax.scipy.linalg.cho_solve(chol, con.J.T)     # [nv, ne] = Minv J^T
+  X = jax.scipy.linalg.cho_solve(chol, con.J.T)   # [nv, ne_sel] = Minv J^T
   diagA = jnp.einsum('ev,ve->e', con.J, X)
   # regularization from reference-pose invweights (see _body_invweights)
-  R = (1.0 - con.d_imp) / con.d_imp * jnp.asarray(cs.invweight)
+  R = (1.0 - con.d_imp) / con.d_imp * con.invweight
   b = con.J @ smooth.qacc_smooth - con.aref
   precond = 1.0 / (diagA + R + 1e-12)
 
-  ncon = cs.ncon
-  order = _row_order(cs)
-  mu_t = jnp.asarray(cs.con_friction[:, 0]) if ncon else jnp.zeros(0)
-  mu_tor = jnp.asarray(cs.con_friction[:, 1]) if ncon else jnp.zeros(0)
+  K = cs.ncon_sel
+  order = _row_order(K, cs.nlim, cs.neq)
   lo_lim, hi_lim = order['lim']
-
-  con_active = con.active[order['con_n'][0]:order['con_n'][1]] \
-      if ncon else jnp.zeros(0, bool)
+  con_active = con.active[0:K] if K else jnp.zeros(0, bool)
   lim_active = con.active[lo_lim:hi_lim]
 
   def project(f):
-    if ncon:
-      fn = jnp.maximum(f[0:ncon], 0.0) * con_active
-      ft1 = f[ncon:2 * ncon]
-      ft2 = f[2 * ncon:3 * ncon]
-      ftor = f[3 * ncon:4 * ncon]
+    if K:
+      fn = jnp.maximum(f[0:K], 0.0) * con_active
+      ft1 = f[K:2 * K]
+      ft2 = f[2 * K:3 * K]
+      ftor = f[3 * K:4 * K]
       t_norm = jnp.sqrt(ft1 * ft1 + ft2 * ft2 + 1e-18)
-      scale = jnp.minimum(1.0, mu_t * fn / t_norm)
+      scale = jnp.minimum(1.0, con.mu_t * fn / t_norm)
       ft1 = ft1 * scale * con_active
       ft2 = ft2 * scale * con_active
-      ftor = jnp.clip(ftor, -mu_tor * fn, mu_tor * fn) * con_active
-      f = f.at[0:4 * ncon].set(jnp.concatenate([fn, ft1, ft2, ftor]))
+      ftor = jnp.clip(ftor, -con.mu_tor * fn, con.mu_tor * fn) * con_active
+      f = f.at[0:4 * K].set(jnp.concatenate([fn, ft1, ft2, ftor]))
     if hi_lim > lo_lim:
       f = f.at[lo_lim:hi_lim].set(
           jnp.maximum(f[lo_lim:hi_lim], 0.0) * lim_active)
     return f
 
-  f0 = jnp.zeros(ne) if warmstart is None else warmstart
+  if warmstart is None:
+    f0 = jnp.zeros(ne_sel)
+  else:
+    f0 = gather_warmstart(cs, con, warmstart)
   f0 = project(f0)
 
   def body(f, _):
@@ -358,4 +412,4 @@ def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
 
   f, _ = jax.lax.scan(body, f0, None, length=iterations)
   qacc = smooth.qacc_smooth + X @ f
-  return f, qacc
+  return scatter_forces(cs, con, f), qacc

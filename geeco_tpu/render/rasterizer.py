@@ -45,6 +45,7 @@ class Renderer(NamedTuple):
   zfar: float
   sky_rgb: Tuple[float, float, float]
   depth_gl: bool  # OpenGL-style nonlinear depth output
+  cull: int       # backface culling: 0 off, +1/-1 keep that area sign
 
   # ------------------------------------------------------------------ api
 
@@ -56,10 +57,10 @@ class Renderer(NamedTuple):
 
 def build_renderer(model: Model, assets: Assets, width: int = 256,
                    height: int = 256, camera: str = 'external_camera_1',
-                   tile: int = 16, tris_per_tile: int = 160, chunk: int = 8,
+                   tile: int = 16, tris_per_tile: int = 96, chunk: int = 8,
                    znear: float = 0.05, zfar: float = 10.0,
                    mesh_face_budget: int = 400,
-                   depth_gl: bool = False) -> Renderer:
+                   depth_gl: bool = False, cull: int = -1) -> Renderer:
   scene = build_render_scene(model, assets, mesh_face_budget=mesh_face_budget)
   # sky color: mean of the builtin gradient skybox texture
   # (assets/gym/defaults/geeco-gym.xml:3)
@@ -67,7 +68,7 @@ def build_renderer(model: Model, assets: Assets, width: int = 256,
   return Renderer(model=model, scene=scene, width=width, height=height,
                   cam_id=model.cam(camera), tile=tile,
                   tris_per_tile=tris_per_tile, chunk=chunk, znear=znear,
-                  zfar=zfar, sky_rgb=sky, depth_gl=depth_gl)
+                  zfar=zfar, sky_rgb=sky, depth_gl=depth_gl, cull=cull)
 
 
 # ---------------------------------------------------------------------------
@@ -117,6 +118,8 @@ def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array]):
   area = ((p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1]) -
           (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0]))
   valid &= jnp.abs(area) > 1e-8
+  if r.cull:
+    valid &= (area * r.cull) > 0
 
   # ---- flat shading per triangle
   n_w = jnp.cross(w1 - w0, w2 - w0)
