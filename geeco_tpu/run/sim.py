@@ -26,6 +26,7 @@ import numpy as np
 from ..data import tasks as task_csv
 from ..data.episode import (make_record_fn, meta_info_dict,
                             save_episode_npz, save_replay_buffer_pkl)
+from ..data.tfrecord_io import write_episode_tfrecord
 from ..data.keyframes import load_target_frames
 from ..envs.base import GeecoEnv, ResetSpec
 from ..expert.policies import make_expert, rollout
@@ -93,43 +94,69 @@ def run_collect(args):
   episode_steps = (args.max_episode_steps if args.max_episode_steps > 0
                    else EPISODE_STEPS_COLLECT)
 
+  env.setup()
+  B = max(1, args.num_envs)
+
+  reset_random_batch = jax.jit(jax.vmap(env.reset_random))
+  reset_to_batch = jax.jit(jax.vmap(env.reset_to))
+
   @jax.jit
-  def run_episode(es):
-    return rollout(env, es, expert, length=episode_steps,
-                   record_fn=record_fn)
+  def run_episodes(es):  # vmapped over the env batch
+    return jax.vmap(
+        lambda e: rollout(env, e, expert, length=episode_steps,
+                          record_fn=record_fn))(es)
+
+  eval_batch = jax.jit(jax.vmap(env.eval_metrics))
 
   video = VideoRecorder('collect', wrk_dir) \
       if args.rendering_mode == 'video' else None
 
   rng = jax.random.PRNGKey(args.seed)
   successes = []
-  for i in range(args.start_idx, args.end_idx):
-    episode_id = i + 1
+  n_specs = int(jax.tree.leaves(specs)[0].shape[0]) if specs is not None \
+      else 0
+  for chunk in range(args.start_idx, args.end_idx, B):
+    n = min(B, args.end_idx - chunk)
     rng, sub = jax.random.split(rng)
-    es = _reset(env, args, specs, i, sub)
-    if args.dry_run:  # save initial configuration image only
-      rgb, _ = env.render(es)
+    rngs = jax.random.split(sub, B)
+    if specs is not None:
+      idx = np.minimum(np.arange(chunk, chunk + B), n_specs - 1)
+      spec_chunk = jax.tree.map(lambda x: x[jnp.asarray(idx)], specs)
+      es = reset_to_batch(spec_chunk, rngs)
+    else:
+      es = reset_random_batch(rngs)
+    if args.dry_run:  # save initial configuration images only
+      rgb, _ = jax.jit(jax.vmap(env.render))(es)
       from PIL import Image
-      Image.fromarray(np.asarray(rgb)).save(
-          os.path.join(wrk_dir, f'init_{episode_id:04d}.png'))
+      for k in range(n):
+        Image.fromarray(np.asarray(rgb[k])).save(
+            os.path.join(wrk_dir, f'init_{chunk + k + 1:04d}.png'))
       continue
-    es_f, recs = run_episode(es)
+    es_f, recs = run_episodes(es)
     recs = jax.device_get(recs)
-    ctx = _episode_context(env, es)
-    name = f'replay_buffer_{episode_id:04d}'
-    save_episode_npz(os.path.join(wrk_dir, 'data', f'{name}.npz'),
-                     recs, ctx)
-    save_replay_buffer_pkl(os.path.join(wrk_dir, f'{name}.pkl'), env,
-                           recs, ctx)
-    if video is not None and 'rgb' in recs:
-      for frame in recs['rgb']:
-        video.feed(frame)
-      video.flush()
-    m = env.eval_metrics(es_f)
-    successes.append(float(m['task_success']))
-    print(f'episode {episode_id}: task_success='
-          f'{float(m["task_success"]):.0f} '
-          f'goal_dist={float(m["goal_dist"]):.4f}')
+    metrics = jax.device_get(eval_batch(es_f))
+    for k in range(n):
+      episode_id = chunk + k + 1
+      rec_k = jax.tree.map(lambda x: x[k], recs)
+      es_k = jax.tree.map(lambda x: x[k], es)
+      ctx = _episode_context(env, es_k)
+      name = f'replay_buffer_{episode_id:04d}'
+      save_episode_npz(os.path.join(wrk_dir, 'data', f'{name}.npz'),
+                       rec_k, ctx)
+      save_replay_buffer_pkl(os.path.join(wrk_dir, f'{name}.pkl'), env,
+                             rec_k, ctx)
+      if with_frames:  # reference-format zlib TFRecord (native encoder)
+        write_episode_tfrecord(
+            os.path.join(wrk_dir, 'data', f'{name}.tfrecord.zlib'), rec_k,
+            ctx)
+      if video is not None and 'rgb' in rec_k:
+        for frame in rec_k['rgb']:
+          video.feed(frame)
+        video.flush()
+      success = float(metrics['task_success'][k])
+      successes.append(success)
+      print(f'episode {episode_id}: task_success={success:.0f} '
+            f'goal_dist={float(metrics["goal_dist"][k]):.4f}')
   if video is not None:
     video.finalize()
   if successes:
