@@ -159,30 +159,114 @@ def episode_windows(path: str, window_size: int = 4,
 # -------------------------------------------------------------- iterator
 
 
+def _lazy_episode(path: str, fetch_target: bool):
+  """Load an episode keeping rgb as uint8; precompute the small vectors."""
+  ep, _ = load_episode_npz(path)
+  rgb_u8 = ep.get('rgb')
+  depth = ep.get('depth')
+  small = preprocess_states({k: v for k, v in ep.items()
+                             if k not in ('rgb', 'depth')})
+  small = preprocess_targets(small)
+  return small, rgb_u8, depth
+
+
+def _gather_frames(rgb_u8, depth, idx):
+  """Window-index into the episode frames (rgb stays uint8: 4x less
+  host->device traffic; the train step normalizes on device)."""
+  rgb = rgb_u8[idx]
+  d = depth[idx].astype(np.float32)
+  if d.ndim == 4:
+    d = d[..., None]
+  return rgb, d
+
+
 def input_pipeline(dataset_dir: str, split_name: str, mode: str,
                    window_size: int = 4, fetch_target: bool = False,
                    batch_size: int = 32, num_epochs: int = 1,
                    shuffle: bool = True, seed: Optional[int] = None,
-                   drop_remainder: bool = True) -> Iterator:
+                   drop_remainder: bool = True,
+                   prefetch: bool = True) -> Iterator:
   """Yields (feature, label) dict batches; sequential windows within an
   episode keep their order inside a batch slot (the LSTM state-carry
   training semantics, see models/e2evmc).
+
+  Frames stay uint8 until a batch is assembled (windows index into the
+  episode rather than materializing [n_win, K, H, W, 3]); episode loading
+  runs in a prefetch thread so zlib decompression overlaps device compute.
   """
   rng = np.random.RandomState(seed)
   paths = list_records(dataset_dir, split_name, mode)
   if not paths:
     raise FileNotFoundError(
         f'no records for {dataset_dir} split={split_name} mode={mode}')
-  for _ in range(num_epochs):
-    order = rng.permutation(len(paths)) if shuffle else np.arange(len(paths))
-    buf_f, buf_l = [], []
-    for pi in order:
-      f, l = episode_windows(paths[pi], window_size, fetch_target)
-      n = f['step'].shape[0]
-      for s in range(0, n, batch_size):
-        fb = {k: v[s:s + batch_size] for k, v in f.items()}
-        lb = {k: v[s:s + batch_size] for k, v in l.items()}
-        if fb['step'].shape[0] < batch_size:
-          if drop_remainder:
-            continue
-        yield fb, lb
+
+  def episode_order():
+    for _ in range(num_epochs):
+      order = rng.permutation(len(paths)) if shuffle \
+          else np.arange(len(paths))
+      for pi in order:
+        yield paths[pi]
+
+  def load_iter():
+    for path in episode_order():
+      yield _lazy_episode(path, fetch_target)
+
+  if prefetch:
+    import queue as _queue
+    import threading
+    q: '_queue.Queue' = _queue.Queue(maxsize=2)
+    _SENTINEL = object()
+
+    def producer():
+      try:
+        for item in load_iter():
+          q.put(item)
+      finally:
+        q.put(_SENTINEL)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    def consume():
+      while True:
+        item = q.get()
+        if item is _SENTINEL:
+          return
+        yield item
+    episodes = consume()
+  else:
+    episodes = load_iter()
+
+  K = window_size
+  for small, rgb_u8, depth in episodes:
+    T = small['step'].shape[0]  # already droplast (T = episode_length - 1)
+    n_win = T - K + 1
+    widx = np.arange(n_win)[:, None] + np.arange(K)[None, :]
+    for s in range(0, n_win, batch_size):
+      sl = widx[s:s + batch_size]
+      if sl.shape[0] < batch_size and drop_remainder:
+        continue
+      feature = {k: small[k][sl] for k in
+                 ('step', 'ts', 'jnt_state', 'vel_state', 'ee_state',
+                  'grp_state', 'goal_state', 'obj_state', 'cmd', 'ctrl')}
+      if rgb_u8 is not None:
+        rgb, d = _gather_frames(rgb_u8, depth, sl)
+        feature['rgb'] = rgb
+        feature['depth'] = d
+        if fetch_target:
+          tgt_rgb = rgb_u8[-1]
+          feature['target_rgb'] = np.broadcast_to(
+              tgt_rgb, (sl.shape[0],) + tgt_rgb.shape)
+          tgt_d = depth[-1].astype(np.float32)
+          if tgt_d.ndim == 2:
+            tgt_d = tgt_d[..., None]
+          feature['target_depth'] = np.broadcast_to(
+              tgt_d, (sl.shape[0],) + tgt_d.shape)
+      last = sl[:, -1]
+      label = {
+          'cmd': small['cmd'][last],
+          'ctrl': small['ctrl'][last],
+          'vel_target': small['vel_target'][last],
+          'ee_target': small['ee_target'][last],
+          'grp_target': small['grp_target'][last],
+      }
+      yield feature, label

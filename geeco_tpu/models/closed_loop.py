@@ -1,0 +1,128 @@
+"""Fully on-device closed-loop policy evaluation.
+
+The reference controller loop round-trips through the host every step:
+render -> numpy -> TF session -> numpy -> env.step (scripts/
+gym_pickplace.py:858-934).  Here the entire control loop — render, frame
+ring buffer, CNN+LSTM forward, action, 20 physics substeps — is one
+`lax.scan` inside one jit, vmapped over an env batch.  This is the
+TPU-native serving path; the host receives only final states and metrics.
+
+Policy-state pytree mirrors the predictor semantics
+(src/models/e2evmc/predictor.py:127-200): window_size frame buffer padded
+with the first frame, LSTM carry persisted across steps, argmax -> {-1,0,1}
+gripper remap.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..envs.base import EnvState, GeecoEnv
+from .e2evmc import init_lstm_carry, make_model
+from .params import E2EVMCConfig
+
+
+class PolicyState(NamedTuple):
+  frames: jax.Array   # [K, H, W, C] ring buffer
+  jnt: jax.Array      # [K, 7]
+  carry: Tuple[jax.Array, jax.Array]
+  started: jax.Array  # bool: buffer initialized
+
+
+def init_policy_state(config: E2EVMCConfig) -> PolicyState:
+  K = config.window_size
+  return PolicyState(
+      frames=jnp.zeros((K, config.img_height, config.img_width,
+                        config.img_channels)),
+      jnt=jnp.zeros((K, config.dim_jnt_state)),
+      carry=init_lstm_carry(config, 1),
+      started=jnp.asarray(False),
+  )
+
+
+def make_closed_loop(env: GeecoEnv, config: E2EVMCConfig,
+                     goal_conditioned: bool):
+  """Returns rollout_fn(params, es, tgt_frame, n_steps) -> (es_f, aux).
+
+  The per-step policy+env transition is compiled once; vmap over envs and
+  feed per-env target frames for the goal-conditioned variant.
+  """
+  model = make_model(config, goal_conditioned)
+
+  def policy_step(params, ps: PolicyState, obs_frame, jnt_state, tgt_frame):
+    K = config.window_size
+    # ring buffer with first-frame padding (predictor.py:192-200)
+    frames0 = jnp.broadcast_to(obs_frame[None], ps.frames.shape)
+    jnt0 = jnp.broadcast_to(jnt_state[None], ps.jnt.shape)
+    frames = jnp.where(ps.started,
+                       jnp.concatenate([ps.frames[1:], obs_frame[None]]),
+                       frames0)
+    jnt = jnp.where(ps.started,
+                    jnp.concatenate([ps.jnt[1:], jnt_state[None]]), jnt0)
+    reset = jnp.logical_not(ps.started)
+    if goal_conditioned:
+      ep, carry = model.apply({'params': params}, frames[None], jnt[None],
+                              tgt_frame[None], ps.carry, reset)
+    else:
+      ep, carry = model.apply({'params': params}, frames[None], jnt[None],
+                              ps.carry, reset)
+    cmd_ee = ep['pred_cmd_ee'][0]
+    cmd_grp = (jnp.argmax(ep['logits_cmd_grp'][0]) - 1).astype(jnp.float32)
+    action = jnp.concatenate([cmd_ee, cmd_grp[None]])
+    return action, PolicyState(frames=frames, jnt=jnt, carry=carry,
+                               started=jnp.asarray(True))
+
+  def step_fn(params, es: EnvState, ps: PolicyState, tgt_frame):
+    """One closed-loop control step (single env; vmap over the batch)."""
+    rgb, depth = env.render(es)
+    obs = rgb.astype(jnp.float32) / 255.0
+    if config.img_channels == 4:
+      obs = jnp.concatenate([obs, depth[..., None]], axis=-1)
+    jnt = env.proprioception(es)
+    action, ps = policy_step(params, ps, obs, jnt, tgt_frame)
+    es = env.step(es, action)
+    m = env.eval_metrics(es)
+    return es, ps, m
+
+  return step_fn
+
+
+def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
+                     goal_conditioned: bool, rngs, tgt_frames=None,
+                     n_steps: int = 200) -> Dict[str, jax.Array]:
+  """Reset + closed-loop rollout for a batch of envs; returns metrics.
+
+  One batched policy+env step is jit-compiled and iterated from the host
+  (device-resident state; only the final metrics come back) — compiling the
+  whole episode as a single scan makes the XLA graph too large.
+  """
+  env.setup()
+  step_fn = make_closed_loop(env, config, goal_conditioned)
+  es = jax.jit(jax.vmap(env.reset_random))(rngs)
+  B = rngs.shape[0]
+  if tgt_frames is None:
+    tgt_frames = jnp.zeros((B, config.img_height, config.img_width,
+                            config.img_channels))
+
+  batched = jax.jit(jax.vmap(step_fn, in_axes=(None, 0, 0, 0)))
+  ps = jax.tree.map(lambda x: jnp.stack([x] * B), init_policy_state(config))
+
+  agg = {
+      'obj_vicinity': jnp.zeros(B), 'grasp_success': jnp.zeros(B),
+      'min_goal_dist': jnp.full(B, 1e3), 'max_goal_dist': jnp.zeros(B),
+      'final_goal_dist': jnp.zeros(B), 'task_success': jnp.zeros(B),
+  }
+  for _ in range(n_steps):
+    es, ps, m = batched(params, es, ps, tgt_frames)
+    agg['obj_vicinity'] = jnp.maximum(agg['obj_vicinity'],
+                                      m['obj_vicinity'])
+    agg['grasp_success'] = jnp.maximum(agg['grasp_success'],
+                                       m['grasp_success'])
+    agg['min_goal_dist'] = jnp.minimum(agg['min_goal_dist'], m['goal_dist'])
+    agg['max_goal_dist'] = jnp.maximum(agg['max_goal_dist'], m['goal_dist'])
+    agg['final_goal_dist'] = m['goal_dist']
+    agg['task_success'] = m['task_success']
+  return agg

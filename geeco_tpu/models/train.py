@@ -62,18 +62,27 @@ def _dummy_batch(config: E2EVMCConfig, goal_conditioned: bool, n: int):
   return feature, label
 
 
+def _norm_rgb(x: jax.Array) -> jax.Array:
+  """uint8 frames -> [0,1] float (normalization on device; the pipeline
+  ships uint8 to quarter the host->device traffic)."""
+  if jnp.issubdtype(x.dtype, jnp.integer):
+    return x.astype(jnp.float32) / 255.0
+  return x
+
+
 def obs_frames(config: E2EVMCConfig, feature: Dict) -> jax.Array:
   """RGB or RGB-D observation stack (estimator.py:30-39)."""
+  rgb = _norm_rgb(feature['rgb'])
   if config.img_channels == 3:
-    return feature['rgb']
-  return jnp.concatenate([feature['rgb'], feature['depth']], axis=-1)
+    return rgb
+  return jnp.concatenate([rgb, feature['depth']], axis=-1)
 
 
 def tgt_frame(config: E2EVMCConfig, feature: Dict) -> jax.Array:
+  rgb = _norm_rgb(feature['target_rgb'])
   if config.img_channels == 3:
-    return feature['target_rgb']
-  return jnp.concatenate([feature['target_rgb'], feature['target_depth']],
-                         axis=-1)
+    return rgb
+  return jnp.concatenate([rgb, feature['target_depth']], axis=-1)
 
 
 def make_train_fns(config: E2EVMCConfig, goal_conditioned: bool):

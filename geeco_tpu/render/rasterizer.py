@@ -123,9 +123,8 @@ def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array]):
 
   # ---- flat shading per triangle
   n_w = jnp.cross(w1 - w0, w2 - w0)
-  n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, -1, keepdims=True)
-                          if False else
-                          jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-9)
+  n_w = n_w / jnp.maximum(
+      jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-9)
   # orient normals toward the camera (double-sided shading)
   centroid = (w0 + w1 + w2) / 3.0
   to_cam = cam_pos - centroid

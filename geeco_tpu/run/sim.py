@@ -135,11 +135,8 @@ def run_collect(args):
     es_f, recs = run_episodes(es)
     recs = jax.device_get(recs)
     metrics = jax.device_get(eval_batch(es_f))
-    for k in range(n):
-      episode_id = chunk + k + 1
-      rec_k = jax.tree.map(lambda x: x[k], recs)
-      es_k = jax.tree.map(lambda x: x[k], es)
-      ctx = _episode_context(env, es_k)
+
+    def write_episode(episode_id, rec_k, ctx):
       name = f'replay_buffer_{episode_id:04d}'
       save_episode_npz(os.path.join(wrk_dir, 'data', f'{name}.npz'),
                        rec_k, ctx)
@@ -149,14 +146,27 @@ def run_collect(args):
         write_episode_tfrecord(
             os.path.join(wrk_dir, 'data', f'{name}.tfrecord.zlib'), rec_k,
             ctx)
-      if video is not None and 'rgb' in rec_k:
-        for frame in rec_k['rgb']:
-          video.feed(frame)
-        video.flush()
-      success = float(metrics['task_success'][k])
-      successes.append(success)
-      print(f'episode {episode_id}: task_success={success:.0f} '
-            f'goal_dist={float(metrics["goal_dist"][k]):.4f}')
+
+    # overlap episode IO (zlib-heavy) with the next chunk's device work
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+      futures = []
+      for k in range(n):
+        episode_id = chunk + k + 1
+        rec_k = jax.tree.map(lambda x: x[k], recs)
+        es_k = jax.tree.map(lambda x: x[k], es)
+        ctx = _episode_context(env, es_k)
+        futures.append(pool.submit(write_episode, episode_id, rec_k, ctx))
+        if video is not None and 'rgb' in rec_k:
+          for frame in rec_k['rgb']:
+            video.feed(frame)
+          video.flush()
+        success = float(metrics['task_success'][k])
+        successes.append(success)
+        print(f'episode {episode_id}: task_success={success:.0f} '
+              f'goal_dist={float(metrics["goal_dist"][k]):.4f}')
+      for fu in futures:
+        fu.result()  # surface writer errors
   if video is not None:
     video.finalize()
   if successes:
@@ -247,10 +257,70 @@ def run_random(args):
 # ---------------------------------------------------------------- controller
 
 
+def run_controller_batched(args):
+  """Fully on-device closed-loop eval: policy + physics + render inside one
+  jitted rollout, vmapped over --num_envs (random resets)."""
+  import jax
+  import jax.numpy as jnp
+  from ..models.closed_loop import evaluate_batched
+  from ..models.params import load_model_config
+  from ..models.predictor import GoalE2EVMCPredictor, E2EVMCPredictor
+
+  wrk_dir = os.path.join(args.wrk_dir, 'controller')
+  os.makedirs(wrk_dir, exist_ok=True)
+  env = build_env(args)
+  goal_conditioned = args.goal_condition == 'target'
+  # reuse the predictor's config/checkpoint loading
+  pred_cls = GoalE2EVMCPredictor if goal_conditioned else E2EVMCPredictor
+  predictor = pred_cls(args.model_dir, args.checkpoint_name)
+  config, params = predictor.cfg, predictor.params
+
+  B = args.num_envs
+  n_eps = args.end_idx - args.start_idx
+  rng = jax.random.PRNGKey(args.seed)
+  rows = []
+  for chunk in range(0, n_eps, B):
+    n = min(B, n_eps - chunk)
+    rng, sub = jax.random.split(rng)
+    rngs = jax.random.split(sub, B)
+    episode_steps = (args.max_episode_steps if args.max_episode_steps > 0
+                     else EPISODE_STEPS_CONTROL)
+    agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
+                           n_steps=episode_steps)
+    agg = {k: np.asarray(v) for k, v in agg.items()}
+    for k in range(n):
+      rows.append({
+          'episode_id': args.start_idx + chunk + k + 1,
+          'obj_vicinity': int(agg['obj_vicinity'][k]),
+          'grasp_success': int(agg['grasp_success'][k]),
+          'task_success': int(agg['task_success'][k]),
+          'init_goal_dist': float(agg['max_goal_dist'][k]),
+          'min_goal_dist': float(agg['min_goal_dist'][k]),
+          'max_goal_dist': float(agg['max_goal_dist'][k]),
+          'final_goal_dist': float(agg['final_goal_dist'][k]),
+          'video_file': '',
+      })
+  with open(os.path.join(wrk_dir, 'eval_results.csv'), 'w',
+            newline='') as fp:
+    writer = csv.DictWriter(fp, fieldnames=EVAL_FIELDS, delimiter=';')
+    writer.writeheader()
+    for r in rows:
+      writer.writerow(r)
+  with open(os.path.join(wrk_dir, 'final_results.txt'), 'w') as fp:
+    for k in ('obj_vicinity', 'grasp_success', 'task_success'):
+      avg = np.mean([r[k] for r in rows]) * 100
+      fp.write(f'{k}\t{avg:.2f}\n')
+      print(f'>>> {k}: {avg:.2f}%')
+  return rows
+
+
 def run_controller(args):
   import jax
   import jax.numpy as jnp
   from ..models.predictor import E2EVMCPredictor, GoalE2EVMCPredictor
+
+  if args.num_envs > 1:
+    return run_controller_batched(args)
 
   wrk_dir = os.path.join(args.wrk_dir, 'controller')
   os.makedirs(wrk_dir, exist_ok=True)

@@ -96,7 +96,7 @@ def main(args):
     mesh = Mesh(devices, ('data',))
     print(f'>>> data-parallel over {args.num_devices} devices')
 
-  train_step = jax.jit(train_step, donate_argnums=0)
+  train_step = jax.jit(train_step)
   eval_step = jax.jit(eval_step)
 
   metrics_path = os.path.join(args.model_dir, 'metrics.jsonl')

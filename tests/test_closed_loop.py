@@ -1,0 +1,32 @@
+"""On-device closed-loop rollout test (tiny config; slow on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geeco_tpu.envs.base import GeecoEnv
+from geeco_tpu.models.closed_loop import evaluate_batched, make_closed_loop
+from geeco_tpu.models.params import create_e2evmc_config
+from geeco_tpu.models.train import make_train_fns
+
+
+@pytest.mark.slow
+def test_closed_loop_batched_eval():
+  config = create_e2evmc_config({
+      'img_height': 64, 'img_width': 64, 'proc_obs': 'dynimg',
+      'proc_tgt': 'dyndiff', 'dim_s_obs': 16, 'dim_s_dyn': 16,
+      'dim_s_diff': 16, 'dim_h_lstm': 16, 'dim_h_fc': 16,
+      'window_size': 2, 'compute_dtype': 'float32'})
+  env = GeecoEnv(shapes='pad2-cube2', frame_res=(64, 64), settle_steps=1,
+                 n_substeps=4, solver_iterations=16)
+  init_fn, _, _, _ = make_train_fns(config, goal_conditioned=True)
+  ts = init_fn(jax.random.PRNGKey(0), batch_size=1)
+  rngs = jax.random.split(jax.random.PRNGKey(1), 2)
+  agg = evaluate_batched(env, config, ts.params, True, rngs, n_steps=3)
+  assert agg['task_success'].shape == (2,)
+  for k, v in agg.items():
+    assert np.isfinite(np.asarray(v)).all(), k
+  # goal distances are positive and bounded
+  assert float(agg['min_goal_dist'].min()) >= 0.0
+  assert float(agg['max_goal_dist'].max()) < 2.0
