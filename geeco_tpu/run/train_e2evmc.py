@@ -86,7 +86,10 @@ def main(args):
   # resume from latest checkpoint if present
   latest = snapshots.latest_checkpoint(args.model_dir)
   if latest:
-    ts = ts.replace(params=snapshots.restore_params(latest, ts.params))
+    import jax.numpy as _jnp
+    ts = ts.replace(params=snapshots.restore_params(latest, ts.params),
+                    step=_jnp.asarray(snapshots.checkpoint_step(latest),
+                                      _jnp.int32))
     print(f'>>> Resumed params from {latest}')
 
   mesh = None
