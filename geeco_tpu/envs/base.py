@@ -154,7 +154,7 @@ class GeecoEnv:
 
   def __init__(self, shapes: str = 'pad2-cube2', frame_res=(256, 256),
                asset_root: str = ASSET_ROOT, n_substeps: int = 20,
-               settle_steps: int = 10, solver_iterations: int = 120,
+               settle_steps: int = 10, solver_iterations: int = 60,
                renderer_kwargs: Optional[dict] = None):
     import os
     self.shapes = shapes

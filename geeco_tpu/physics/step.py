@@ -37,7 +37,7 @@ class Stepper(NamedTuple):
   def fk(self, state: State) -> Kin:
     return K.fk(self.model, state)
 
-  def substep(self, state: State, solver_iterations: int = 120) -> State:
+  def substep(self, state: State, solver_iterations: int = 60) -> State:
     model = self.model
     dt = model.opt.timestep
     smooth = D.smooth_dynamics(model, state, self.anc_mask, dt)
@@ -52,7 +52,7 @@ class Stepper(NamedTuple):
                          efc_force=f)
 
   def step(self, state: State, n_substeps: int = 20,
-           solver_iterations: int = 120) -> State:
+           solver_iterations: int = 60) -> State:
     def body(s, _):
       return self.substep(s, solver_iterations), None
     state, _ = jax.lax.scan(body, state, None, length=n_substeps)

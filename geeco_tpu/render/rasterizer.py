@@ -1,15 +1,25 @@
 """Tiled batched triangle rasterizer producing RGB(-D) observations on-device.
 
-Pipeline per frame (pure jnp; vmap over envs):
+Pipeline per frame (vmap over envs):
   1. transform the compiled triangle soup by geom world poses (Kin)
   2. project to screen space (MuJoCo camera convention: looks along -z,
      y up, vertical fov = cam_fovy; reference camera external_camera_1,
      assets/gym/robots/fetch-gym.xml:124)
-  3. bin triangle screen AABBs into pixel tiles (top-k per tile, static cap)
-  4. per tile: z-buffered barycentric rasterization over its triangle list,
-     scanned in chunks so live buffers stay tile-sized (VMEM-friendly;
-     the structure maps 1:1 onto a future Pallas kernel)
+  3. two-level hierarchical binning: coarse 64x64-px tiles (top-K1 of all
+     triangles) then fine 16x16 tiles (top-K of the coarse candidates) —
+     the coarse stage keeps the expensive top_k sort off the full
+     triangle soup for every fine tile
+  4. per fine tile: z-buffered barycentric rasterization over its
+     triangle list.  On TPU this is a Pallas kernel holding the z and
+     packed-color buffers in VMEM across all K slots (one HBM pass);
+     on CPU a chunked jnp scan with the same semantics (test suite path)
   5. flat Lambertian shading per triangle, gradient-sky background
+
+TPU layout note: every intermediate is a "scalar plane" ([T], [tiles, K],
+[K, tiles] ...) — never [..., 2] or [..., 3] point/color tuples.  XLA pads
+the two minormost dimensions to the (8, 128) register tile, so a trailing
+dim of 2 inflates memory and bandwidth 64x; keeping coordinates in
+separate planes is what makes the gathers and binning run at full speed.
 
 Output matches the reference's post-flip orientation (row 0 = top of image;
 the reference flips mujoco-py's upside-down frames, pickplace.py:263-264).
@@ -46,6 +56,10 @@ class Renderer(NamedTuple):
   sky_rgb: Tuple[float, float, float]
   depth_gl: bool  # OpenGL-style nonlinear depth output
   cull: int       # backface culling: 0 off, +1/-1 keep that area sign
+  coarse: int     # coarse tile size in fine tiles per side (0 = flat binning)
+  coarse_k: int   # candidate capacity per coarse (64 px) region
+  mid_k: int      # candidate capacity per mid (32 px) region
+  backend: str    # 'pallas' | 'jnp' | 'auto'
 
   # ------------------------------------------------------------------ api
 
@@ -60,7 +74,9 @@ def build_renderer(model: Model, assets: Assets, width: int = 256,
                    tile: int = 16, tris_per_tile: int = 96, chunk: int = 8,
                    znear: float = 0.05, zfar: float = 10.0,
                    mesh_face_budget: int = 400,
-                   depth_gl: bool = False, cull: int = -1) -> Renderer:
+                   depth_gl: bool = False, cull: int = -1,
+                   coarse: int = 4, coarse_k: int = 512, mid_k: int = 192,
+                   backend: str = 'auto') -> Renderer:
   scene = build_render_scene(model, assets, mesh_face_budget=mesh_face_budget)
   # sky color: mean of the builtin gradient skybox texture
   # (assets/gym/defaults/geeco-gym.xml:3)
@@ -68,20 +84,33 @@ def build_renderer(model: Model, assets: Assets, width: int = 256,
   return Renderer(model=model, scene=scene, width=width, height=height,
                   cam_id=model.cam(camera), tile=tile,
                   tris_per_tile=tris_per_tile, chunk=chunk, znear=znear,
-                  zfar=zfar, sky_rgb=sky, depth_gl=depth_gl, cull=cull)
+                  zfar=zfar, sky_rgb=sky, depth_gl=depth_gl, cull=cull,
+                  coarse=coarse, coarse_k=min(coarse_k, scene.tri.shape[0]),
+                  mid_k=min(mid_k, coarse_k), backend=backend)
 
 
 # ---------------------------------------------------------------------------
+# stage 1+2: vertex transform, projection, shading -> per-triangle planes
 
 
-def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array]):
+class TriPlanes(NamedTuple):
+  """Per-triangle screen-space scalar planes (all [T])."""
+  x0: jax.Array
+  y0: jax.Array
+  x1: jax.Array
+  y1: jax.Array
+  x2: jax.Array
+  y2: jax.Array
+  iz0: jax.Array    # 1/depth at vertices
+  iz1: jax.Array
+  iz2: jax.Array
+  valid: jax.Array  # bool
+  colp: jax.Array   # packed shaded color r*65536 + g*256 + b (f32, exact)
+
+
+def _project_and_shade(r: Renderer, kin: Kin, rgba: jax.Array) -> TriPlanes:
   model, scene = r.model, r.scene
-  H, W, TS = r.height, r.width, r.tile
-  ty, tx = H // TS, W // TS
-  n_tiles = ty * tx
-  K = r.tris_per_tile
-
-  rgba = model.geom_rgba if geom_rgba is None else geom_rgba
+  H, W = r.height, r.width
 
   # ---- camera pose
   cb = model.cam_bodyid[r.cam_id]
@@ -104,19 +133,20 @@ def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array]):
   aspect = W / H
   u = (pc[:, 0] * f / (safe_d * aspect) * 0.5 + 0.5) * W
   v = (0.5 - pc[:, 1] * f / safe_d * 0.5) * H
-  pix = jnp.stack([u, v], -1)                   # [V, 2]
 
-  # ---- per-triangle data
+  # ---- per-triangle planes
   tri = jnp.asarray(scene.tri)                  # [T, 3]
   tg = jnp.asarray(scene.tri_geom)              # [T]
-  p0, p1, p2 = pix[tri[:, 0]], pix[tri[:, 1]], pix[tri[:, 2]]
-  d0, d1, d2 = depth_v[tri[:, 0]], depth_v[tri[:, 1]], depth_v[tri[:, 2]]
-  w0, w1, w2 = world[tri[:, 0]], world[tri[:, 1]], world[tri[:, 2]]
+  i0, i1, i2 = tri[:, 0], tri[:, 1], tri[:, 2]
+  x0, y0 = u[i0], v[i0]
+  x1, y1 = u[i1], v[i1]
+  x2, y2 = u[i2], v[i2]
+  d0, d1, d2 = depth_v[i0], depth_v[i1], depth_v[i2]
+  w0, w1, w2 = world[i0], world[i1], world[i2]
 
   valid = (d0 > r.znear) & (d1 > r.znear) & (d2 > r.znear)
   valid &= rgba[tg, 3] > 0.5                   # per-env visibility
-  area = ((p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1]) -
-          (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0]))
+  area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
   valid &= jnp.abs(area) > 1e-8
   if r.cull:
     valid &= (area * r.cull) > 0
@@ -143,109 +173,356 @@ def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array]):
     l = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), centroid.shape)
   diff = jnp.maximum(jnp.einsum('ti,ti->t', n_w, l), 0.0)
   shade = jnp.clip(0.45 + 0.6 * diff, 0.0, 1.1)
-  tri_rgb = rgba[tg, :3] * shade[:, None]       # [T, 3]
+  cr = jnp.clip(rgba[tg, 0] * shade * 255.0, 0.0, 255.0)
+  cg = jnp.clip(rgba[tg, 1] * shade * 255.0, 0.0, 255.0)
+  cb_ = jnp.clip(rgba[tg, 2] * shade * 255.0, 0.0, 255.0)
+  colp = (jnp.floor(cr) * 65536.0 + jnp.floor(cg) * 256.0 +
+          jnp.floor(cb_))                       # exact in f32 (< 2^24)
 
-  # ---- tile binning
-  lo = jnp.minimum(jnp.minimum(p0, p1), p2)     # [T, 2]
-  hi = jnp.maximum(jnp.maximum(p0, p1), p2)
+  iz0 = 1.0 / jnp.maximum(d0, 1e-6)
+  iz1 = 1.0 / jnp.maximum(d1, 1e-6)
+  iz2 = 1.0 / jnp.maximum(d2, 1e-6)
+  return TriPlanes(x0, y0, x1, y1, x2, y2, iz0, iz1, iz2, valid, colp)
+
+
+def _pack_sky(sky_rgb) -> float:
+  s = [int(np.clip(c * 255.0, 0, 255)) for c in sky_rgb]
+  return float(s[0] * 65536 + s[1] * 256 + s[2])
+
+
+def _unpack_col(colp: jax.Array) -> jax.Array:
+  """Packed f32 color plane -> uint8 [..., 3]."""
+  ci = colp.astype(jnp.int32)
+  return jnp.stack([(ci // 65536) % 256, (ci // 256) % 256, ci % 256],
+                   -1).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# stage 3: binning
+
+
+def _bbox_planes(tp: TriPlanes):
+  lox = jnp.minimum(jnp.minimum(tp.x0, tp.x1), tp.x2)
+  hix = jnp.maximum(jnp.maximum(tp.x0, tp.x1), tp.x2)
+  loy = jnp.minimum(jnp.minimum(tp.y0, tp.y1), tp.y2)
+  hiy = jnp.maximum(jnp.maximum(tp.y0, tp.y1), tp.y2)
+  return lox, loy, hix, hiy
+
+
+def _bin_flat(r: Renderer, tp: TriPlanes):
+  """Single-level binning: top-K triangles per fine tile over all T."""
+  H, W, TS = r.height, r.width, r.tile
+  ty, tx = H // TS, W // TS
+  n_tiles = ty * tx
+  K = r.tris_per_tile
+  lox, loy, hix, hiy = _bbox_planes(tp)
   tiles_x = (jnp.arange(tx) * TS)[None, :]      # [1, tx]
   tiles_y = (jnp.arange(ty) * TS)[None, :]
-  ox = (lo[:, 0:1] < tiles_x + TS) & (hi[:, 0:1] >= tiles_x)   # [T, tx]
-  oy = (lo[:, 1:2] < tiles_y + TS) & (hi[:, 1:2] >= tiles_y)   # [T, ty]
+  ox = (lox[:, None] < tiles_x + TS) & (hix[:, None] >= tiles_x)   # [T, tx]
+  oy = (loy[:, None] < tiles_y + TS) & (hiy[:, None] >= tiles_y)   # [T, ty]
   overlap = (oy[:, :, None] & ox[:, None, :] &
-             valid[:, None, None])              # [T, ty, tx]
+             tp.valid[:, None, None])           # [T, ty, tx]
   overlap = overlap.reshape(-1, n_tiles).T      # [tiles, T]
-  T = tri.shape[0]
+  T = lox.shape[0]
   prio = jnp.where(overlap, jnp.arange(T, 0, -1)[None, :], 0)
   top_prio, top_idx = jax.lax.top_k(prio, K)    # [tiles, K]
-  slot_ok = top_prio > 0
+  return top_idx, top_prio > 0
 
-  # ---- gather per-tile triangle attributes
-  def g(x):
-    return x[top_idx]
-  tp0, tp1, tp2 = g(p0), g(p1), g(p2)           # [tiles, K, 2]
-  tid0 = g(1.0 / jnp.maximum(d0, 1e-6))
-  tid1 = g(1.0 / jnp.maximum(d1, 1e-6))
-  tid2 = g(1.0 / jnp.maximum(d2, 1e-6))
-  trgb = g(tri_rgb)                             # [tiles, K, 3]
-  tok = slot_ok
 
-  # ---- pixel centers per tile
-  px_local = jnp.stack(jnp.meshgrid(jnp.arange(TS) + 0.5,
-                                    jnp.arange(TS) + 0.5,
-                                    indexing='xy'), -1).reshape(-1, 2)
-  tile_origin = jnp.stack(
-      jnp.meshgrid(jnp.arange(tx) * TS, jnp.arange(ty) * TS,
-                   indexing='xy'), -1).reshape(-1, 2)  # [tiles, 2] (x, y)
-  pix_c = tile_origin[:, None, :] + px_local[None, :, :]  # [tiles, px, 2]
-  npx = TS * TS
+def _gather_planes(planes, idx):
+  """Row-gather a list of [N]-planes at [M] indices -> list of [M] planes.
 
-  # ---- chunked z-buffer scan
-  C = r.chunk
+  TPU gather cost is ~10 ns per *index* regardless of row width, so the
+  planes are packed into [N, 8] tables and fetched with ceil(P/8)
+  row-gathers — one index stream instead of P.
+  """
+  outs = []
+  for base in range(0, len(planes), 8):
+    group = planes[base:base + 8]
+    tab = jnp.stack(group, axis=-1)              # [N, <=8]
+    got = jnp.take(tab, idx, axis=0)             # [M, <=8]
+    outs.extend(got[..., j] for j in range(len(group)))
+  return outs
+
+
+def _bin_pallas(r: Renderer, tp: TriPlanes):
+  """Hierarchical binning for the TPU path.
+
+  coarse 4x4-fine-tile regions: priority top-K1 over all T (indices only,
+  then two packed row-gathers);  mid 2x2-fine-tile regions: overlap mask
+  -> multi-operand sort carrying the local slot -> row-gather K2 slots.
+  Returns 11 planes [K2, n_tiles] in *mid-major* fine-tile order
+  (tile = mid * 4 + sub), with coords relative to each mid region origin,
+  plus the ok plane.  No per-(tile, slot) scatter/gather ever runs at
+  fine granularity — that cost (tiles*K indices) is what made a naive
+  binning scheme slower than the rasterization itself.
+  """
+  H, W, TS = r.height, r.width, r.tile
+  ty, tx = H // TS, W // TS
+  CS = 4                                         # fine tiles per coarse side
+  MS = 2                                         # fine tiles per mid side
+  cty, ctx = ty // CS, tx // CS
+  mty, mtx = ty // MS, tx // MS
+  n_coarse = cty * ctx
+  n_mid = mty * mtx
+  K1 = r.coarse_k
+  K2 = r.mid_k
+  lox, loy, hix, hiy = _bbox_planes(tp)
+  T = lox.shape[0]
+
+  # ---- coarse overlap -> top-K1 candidate ids per coarse region
+  CTS = TS * CS
+  cx0 = (jnp.arange(ctx) * CTS)[None, :]
+  cy0 = (jnp.arange(cty) * CTS)[None, :]
+  ox = (lox[:, None] < cx0 + CTS) & (hix[:, None] >= cx0)   # [T, ctx]
+  oy = (loy[:, None] < cy0 + CTS) & (hiy[:, None] >= cy0)   # [T, cty]
+  overlap_c = (oy[:, :, None] & ox[:, None, :] & tp.valid[:, None, None])
+  overlap_c = overlap_c.reshape(T, n_coarse).T  # [n_coarse, T]
+  prio_c = jnp.where(overlap_c, jnp.arange(T, 0, -1)[None, :], 0)
+  cprio, cidx = jax.lax.top_k(prio_c, K1)       # [n_coarse, K1]
+
+  # ---- coarse attribute fetch (2 packed row-gathers over 8-wide tables)
+  cplanes = _gather_planes(
+      [tp.x0, tp.y0, tp.x1, tp.y1, tp.x2, tp.y2, tp.iz0, tp.iz1, tp.iz2,
+       tp.colp], cidx.reshape(-1))
+  cplanes = [p.reshape(n_coarse, K1) for p in cplanes]
+  cx0p, cy0p, cx1p, cy1p, cx2p, cy2p = cplanes[:6]
+  c_ok = (cprio > 0).astype(jnp.float32)
+
+  # bbox of candidates, recomputed from the fetched coords
+  clox = jnp.minimum(jnp.minimum(cx0p, cx1p), cx2p)   # [n_coarse, K1]
+  chix = jnp.maximum(jnp.maximum(cx0p, cx1p), cx2p)
+  cloy = jnp.minimum(jnp.minimum(cy0p, cy1p), cy2p)
+  chiy = jnp.maximum(jnp.maximum(cy0p, cy1p), cy2p)
+
+  # ---- mid regions: overlap of parent-coarse candidates.  The sort
+  # carries all 11 attribute planes as payload operands — a 12-operand
+  # sort is ~2x the cost of a 2-operand one but removes the per-slot
+  # attribute gather entirely (TPU gathers cost ~10 ns per index).
+  MTS = TS * MS
+  mxi = (jnp.arange(n_mid) % mtx)
+  myi = (jnp.arange(n_mid) // mtx)
+  mx0 = (mxi * MTS).astype(jnp.float32)[:, None]      # [n_mid, 1]
+  my0 = (myi * MTS).astype(jnp.float32)[:, None]
+  R_ = CS // MS                                   # mid regions per coarse
+
+  def rep(p):                                     # [n_coarse,K1]->[n_mid,K1]
+    x = p.reshape(cty, ctx, K1)
+    x = jnp.broadcast_to(x[:, None, :, None, :], (cty, R_, ctx, R_, K1))
+    return x.reshape(n_mid, K1)
+
+  ovm = ((rep(clox) < mx0 + MTS) & (rep(chix) >= mx0) &
+         (rep(cloy) < my0 + MTS) & (rep(chiy) >= my0) &
+         (rep(c_ok) > 0.5))                       # [n_mid, K1]
+  prio_m = jnp.where(ovm, (K1 - jnp.arange(K1))[None, :], 0)
+  sorted_ops = jax.lax.sort(
+      tuple([-prio_m] + [rep(p) for p in cplanes]),
+      dimension=-1, num_keys=1)
+  m_ok = ((-sorted_ops[0][:, :K2]) > 0).astype(jnp.float32)
+  mplanes = [p[:, :K2] for p in sorted_ops[1:]]   # [n_mid, K2] each
+  # coords relative to the mid-region origin
+  mplanes[0] = mplanes[0] - mx0
+  mplanes[1] = mplanes[1] - my0
+  mplanes[2] = mplanes[2] - mx0
+  mplanes[3] = mplanes[3] - my0
+  mplanes[4] = mplanes[4] - mx0
+  mplanes[5] = mplanes[5] - my0
+  mplanes.insert(9, m_ok)                         # x0..iz2, ok, colp
+
+  # ---- expand to fine tiles: [K2, n_mid] -> [K2, n_tiles] mid-major
+  out = [jnp.repeat(p.T, MS * MS, axis=1) for p in mplanes]
+  return out
+
+
+def _compose_midmajor(buf, ty, tx, TS, MS):
+  """[npx, n_tiles(mid-major)] -> [H, W] image."""
+  mty, mtx = ty // MS, tx // MS
+  x = buf.T.reshape(mty, mtx, MS, MS, TS, TS)    # (my, mx, sy, sx, py, px)
+  x = x.transpose(0, 2, 4, 1, 3, 5)
+  return x.reshape(ty * TS, tx * TS)
+
+
+# ---------------------------------------------------------------------------
+# stage 4: per-tile rasterization
+
+
+def _raster_jnp(r: Renderer, planes, n_tiles: int, npx: int):
+  """Chunked z-buffer scan (CPU/testing path).
+
+  planes: 11 arrays [tiles, K] (x0..y2 tile-relative, iz0..iz2, ok, colp).
+  Returns (zbuf [tiles, px], colbuf packed f32 [tiles, px]).
+  """
+  x0, y0, x1, y1, x2, y2, iz0, iz1, iz2, ok, colp = planes
+  TS = r.tile
+  K = x0.shape[1]
+  C = min(r.chunk, K)
   n_chunks = K // C
+  pxl = (jnp.arange(npx) % TS).astype(jnp.float32) + 0.5   # [npx]
+  pyl = (jnp.arange(npx) // TS).astype(jnp.float32) + 0.5
   init = (jnp.full((n_tiles, npx), jnp.inf),
-          jnp.zeros((n_tiles, npx, 3)))
+          jnp.full((n_tiles, npx), _pack_sky(r.sky_rgb)))
 
   def chunk_step(carry, c_idx):
     zbuf, cbuf = carry
-    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c_idx * C, C, axis=1)
-    a, b_, c_ = sl(tp0), sl(tp1), sl(tp2)
-    ia, ib, ic = sl(tid0), sl(tid1), sl(tid2)
-    col = sl(trgb)
-    ok = sl(tok)
-
-    p = pix_c[:, None, :, :]
-    A = a[:, :, None, :]
-    B = b_[:, :, None, :]
-    Cc = c_[:, :, None, :]
-    e0 = ((B[..., 0] - A[..., 0]) * (p[..., 1] - A[..., 1]) -
-          (B[..., 1] - A[..., 1]) * (p[..., 0] - A[..., 0]))
-    e1 = ((Cc[..., 0] - B[..., 0]) * (p[..., 1] - B[..., 1]) -
-          (Cc[..., 1] - B[..., 1]) * (p[..., 0] - B[..., 0]))
-    e2 = ((A[..., 0] - Cc[..., 0]) * (p[..., 1] - Cc[..., 1]) -
-          (A[..., 1] - Cc[..., 1]) * (p[..., 0] - Cc[..., 0]))
-    tri_area = ((b_[..., 0] - a[..., 0]) * (c_[..., 1] - a[..., 1]) -
-                (b_[..., 1] - a[..., 1]) * (c_[..., 0] - a[..., 0]))
-    s = jnp.sign(tri_area)[:, :, None]
-    inside = (e0 * s >= 0) & (e1 * s >= 0) & (e2 * s >= 0) & ok[:, :, None]
-    inv_area = 1.0 / jnp.where(jnp.abs(tri_area) > 1e-9, tri_area, 1.0)
-    l0 = e1 * inv_area[:, :, None]
-    l1 = e2 * inv_area[:, :, None]
-    l2 = e0 * inv_area[:, :, None]
-    inv_z = l0 * ia[:, :, None] + l1 * ib[:, :, None] + l2 * ic[:, :, None]
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c_idx * C, C, axis=1)
+    X0, Y0, X1, Y1 = sl(x0)[..., None], sl(y0)[..., None], \
+        sl(x1)[..., None], sl(y1)[..., None]
+    X2, Y2 = sl(x2)[..., None], sl(y2)[..., None]
+    IZ0, IZ1, IZ2 = sl(iz0)[..., None], sl(iz1)[..., None], \
+        sl(iz2)[..., None]
+    OK = sl(ok)[..., None] > 0.5
+    COL = sl(colp)
+    px = pxl[None, None, :]
+    py = pyl[None, None, :]
+    e0 = (X1 - X0) * (py - Y0) - (Y1 - Y0) * (px - X0)   # [tiles, C, px]
+    e1 = (X2 - X1) * (py - Y1) - (Y2 - Y1) * (px - X1)
+    e2 = (X0 - X2) * (py - Y2) - (Y0 - Y2) * (px - X2)
+    area = (X1 - X0) * (Y2 - Y0) - (Y1 - Y0) * (X2 - X0)
+    s = jnp.sign(area)
+    inside = (e0 * s >= 0) & (e1 * s >= 0) & (e2 * s >= 0) & OK
+    inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-9, area, 1.0)
+    inv_z = (e1 * IZ0 + e2 * IZ1 + e0 * IZ2) * inv_area
     z = 1.0 / jnp.maximum(inv_z, 1e-6)
-    z = jnp.where(inside, z, jnp.inf)
+    z = jnp.where(inside, z, jnp.inf)           # [tiles, C, px]
 
-    # fold the C triangles of this chunk into the z/color buffers
-    def fold(carry2, i):
-      zb, cb = carry2
-      zi = z[:, i, :]
-      closer = zi < zb
-      zb = jnp.where(closer, zi, zb)
-      cb = jnp.where(closer[..., None], col[:, i, None, :].repeat(npx, 1),
-                     cb)
-      return (zb, cb), None
-
-    (zbuf, cbuf), _ = jax.lax.scan(fold, (zbuf, cbuf), jnp.arange(C))
+    zc = jnp.min(z, axis=1)                      # [tiles, px]
+    sel = jnp.argmin(z, axis=1)
+    cc = jnp.take_along_axis(COL, sel, axis=1)   # [tiles, px]
+    closer = zc < zbuf
+    zbuf = jnp.where(closer, zc, zbuf)
+    cbuf = jnp.where(closer, cc, cbuf)
     return (zbuf, cbuf), None
 
   (zbuf, cbuf), _ = jax.lax.scan(chunk_step, init, jnp.arange(n_chunks))
+  return zbuf, cbuf
 
-  hit = jnp.isfinite(zbuf)
-  sky = jnp.asarray(r.sky_rgb)
-  rgb_tiles = jnp.where(hit[..., None], cbuf, sky)   # [tiles, px, 3]
-  depth_tiles = jnp.where(hit, zbuf, r.zfar)
 
-  # ---- reassemble tiles -> image
-  rgb = rgb_tiles.reshape(ty, tx, TS, TS, 3).transpose(0, 2, 1, 3, 4)
-  rgb = rgb.reshape(H, W, 3)
-  depth = depth_tiles.reshape(ty, tx, TS, TS).transpose(0, 2, 1, 3)
-  depth = depth.reshape(H, W)
+def _raster_pallas_call(planes, tile: int, sky_packed: float,
+                        tiles_per_block: int = 128, mid_sub: int = 1):
+  """Pallas kernel: z-buffered rasterization with VMEM-resident buffers.
+
+  planes: 11 arrays [K, n_tiles] f32 (x0, y0, x1, y1, x2, y2, iz0, iz1,
+  iz2, ok, colp).  Layout puts tiles in the lane dimension (128
+  tiles/block) and pixels in sublanes, so every per-slot step is a
+  full-width [npx, 128] VPU op and no array has a small trailing dim for
+  XLA to pad.  With mid_sub=S, tiles are grouped S*S per mid region
+  (tile = mid * S^2 + sy * S + sx) and coords are relative to the MID
+  region origin; the kernel adds the per-lane sub-tile pixel offset.
+  Returns (zbuf [npx, n_tiles] f32, colbuf [npx, n_tiles] f32 packed).
+  """
+  from jax.experimental import pallas as pl
+
+  TS = tile
+  npx = TS * TS
+  K, n_tiles = planes[0].shape
+  TB = min(tiles_per_block, n_tiles)
+  S = mid_sub
+
+  def kernel(x0r, y0r, x1r, y1r, x2r, y2r, iz0r, iz1r, iz2r, okr, colr,
+             z_ref, c_ref):
+    # pixel-center coordinates within a tile: sublane p -> (px, py),
+    # plus the sub-tile offset of this lane's tile within its mid region
+    lin = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
+    sub = lane % (S * S)
+    ox = ((sub % S) * TS).astype(jnp.float32)    # [1, TB]
+    oy = ((sub // S) * TS).astype(jnp.float32)
+    px = (lin % TS).astype(jnp.float32) + 0.5 + ox   # [npx, TB]
+    py = (lin // TS).astype(jnp.float32) + 0.5 + oy
+
+    def body(k, carry):
+      zbuf, cbuf = carry
+      x0 = x0r[k][None, :]                       # [1, TB]
+      y0 = y0r[k][None, :]
+      x1 = x1r[k][None, :]
+      y1 = y1r[k][None, :]
+      x2 = x2r[k][None, :]
+      y2 = y2r[k][None, :]
+      e0 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)   # [npx, TB]
+      e1 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+      e2 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
+      area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)  # [1, TB]
+      s = jnp.sign(area)
+      ok = okr[k][None, :] > 0.5
+      inside = (e0 * s >= 0) & (e1 * s >= 0) & (e2 * s >= 0) & ok
+      inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-9, area, 1.0)
+      inv_z = (e1 * iz0r[k][None, :] + e2 * iz1r[k][None, :] +
+               e0 * iz2r[k][None, :]) * inv_area
+      z = 1.0 / jnp.maximum(inv_z, 1e-6)
+      closer = inside & (z < zbuf)
+      zbuf = jnp.where(closer, z, zbuf)
+      cbuf = jnp.where(closer, colr[k][None, :], cbuf)
+      return zbuf, cbuf
+
+    zbuf0 = jnp.full((npx, TB), jnp.inf, jnp.float32)
+    cbuf0 = jnp.full((npx, TB), sky_packed, jnp.float32)
+    zbuf, cbuf = jax.lax.fori_loop(0, K, body, (zbuf0, cbuf0))
+    z_ref[:] = zbuf
+    c_ref[:] = cbuf
+
+  grid = (n_tiles // TB,)
+  in_spec = pl.BlockSpec((K, TB), lambda i: (0, i))
+  out = pl.pallas_call(
+      kernel,
+      grid=grid,
+      in_specs=[in_spec] * 11,
+      out_specs=[pl.BlockSpec((npx, TB), lambda i: (0, i)),
+                 pl.BlockSpec((npx, TB), lambda i: (0, i))],
+      out_shape=[jax.ShapeDtypeStruct((npx, n_tiles), jnp.float32),
+                 jax.ShapeDtypeStruct((npx, n_tiles), jnp.float32)],
+  )(*planes)
+  return out[0], out[1]
+
+
+# ---------------------------------------------------------------------------
+
+
+def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array]):
+  model = r.model
+  H, W, TS = r.height, r.width, r.tile
+  ty, tx = H // TS, W // TS
+  n_tiles = ty * tx
+  npx = TS * TS
+
+  rgba = model.geom_rgba if geom_rgba is None else geom_rgba
+  tp = _project_and_shade(r, kin, rgba)
+
+  backend = r.backend
+  if backend == 'auto':
+    backend = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+  if backend == 'pallas' and ty % 4 == 0 and tx % 4 == 0:
+    MS = 2
+    planes = _bin_pallas(r, tp)                  # [K2, n_tiles] mid-major
+    zbuf, cbuf = _raster_pallas_call(planes, TS, _pack_sky(r.sky_rgb),
+                                     mid_sub=MS)
+    hit = jnp.isfinite(zbuf)
+    depth = _compose_midmajor(jnp.where(hit, zbuf, r.zfar), ty, tx, TS, MS)
+    cimg = _compose_midmajor(cbuf, ty, tx, TS, MS)
+    rgb = _unpack_col(cimg)                      # [H, W, 3] uint8
+  else:
+    top_idx, slot_ok = _bin_flat(r, tp)
+    orx = ((jnp.arange(n_tiles) % tx) * TS).astype(jnp.float32)[:, None]
+    ory = ((jnp.arange(n_tiles) // tx) * TS).astype(jnp.float32)[:, None]
+    planes = [
+        tp.x0[top_idx] - orx, tp.y0[top_idx] - ory,
+        tp.x1[top_idx] - orx, tp.y1[top_idx] - ory,
+        tp.x2[top_idx] - orx, tp.y2[top_idx] - ory,
+        tp.iz0[top_idx], tp.iz1[top_idx], tp.iz2[top_idx],
+        slot_ok.astype(jnp.float32), tp.colp[top_idx],
+    ]
+    zbuf, cbuf = _raster_jnp(r, planes, n_tiles, npx)
+    hit = jnp.isfinite(zbuf)
+    depth_tiles = jnp.where(hit, zbuf, r.zfar)
+    # unpack color only after the [H, W] reshape so no [tiles, npx, 3]
+    # intermediate exists to lane-pad
+    cimg = cbuf.reshape(ty, tx, TS, TS).transpose(0, 2, 1, 3).reshape(H, W)
+    rgb = _unpack_col(cimg)                      # [H, W, 3] uint8
+    depth = depth_tiles.reshape(ty, tx, TS, TS).transpose(0, 2, 1, 3)
+    depth = depth.reshape(H, W)
 
   if r.depth_gl:
     zn, zf = r.znear, r.zfar
     depth = jnp.clip((zf / (zf - zn)) * (1.0 - zn / jnp.maximum(depth, zn)),
                      0.0, 1.0)
 
-  rgb_u8 = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
-  return rgb_u8, depth
+  return rgb, depth
