@@ -19,11 +19,14 @@ enumeration (the TPU-native replacement for runtime broadphase — scenes here
 are small enough that an exhaustive masked pair list beats data-dependent
 pruning under XLA).
 
-Round-1 collision policy for mesh geoms: meshes attached to articulated
-(non-free) bodies — i.e. the Fetch arm links — do not generate contact pairs;
-mesh geoms on free bodies (nut/ball/bridge/diamond task objects) collide via
-their AABB box proxy.  The proxy is exact for rendering purposes because mesh
-vertices are re-centered so that the AABB center is the geom origin.
+Collision policy for mesh geoms: meshes attached to articulated (non-free)
+bodies — i.e. the Fetch arm links — do not generate contact pairs; mesh
+geoms on free bodies (nut/ball/bridge/diamond task objects) collide through
+their convex hulls (``build_hull``; physics/collision.py hull kernels).
+The reference mesh objects are unions of convex parts, one geom per part
+(e.g. the 10-part nut, assets/gym/envs/geeco-nut-cone.xml:41-54), so a
+per-geom hull is the exact narrowphase shape.  Mesh vertices are
+re-centered so the AABB center is the geom origin.
 """
 
 from __future__ import annotations
@@ -272,6 +275,62 @@ def _geom_mass_inertia(gtype: int, size: np.ndarray, mass: Optional[float],
     return m, m / 3.0 * np.array([hy * hy + hz * hz, hx * hx + hz * hz,
                                   hx * hx + hy * hy])
   raise ValueError(f'inertia for geom type {gtype} unsupported')
+
+
+# --- convex hulls for mesh narrowphase ------------------------------------
+
+HULL_VMAX = 24   # padded vertex budget per hull
+HULL_FMAX = 44   # padded face budget (<= 2*VMAX-4 for VMAX=24)
+
+
+def build_hull(verts: np.ndarray, vmax: int = HULL_VMAX,
+               fmax: int = HULL_FMAX):
+  """Convex hull of a point cloud, decimated to fit static budgets.
+
+  Returns (vert [vmax, 3], vmask [vmax], face [fmax, 4], fmask [fmax])
+  with faces as outward half-spaces n·x <= off.  The reference mesh
+  objects are unions of convex parts (e.g. the 10-part nut,
+  assets/gym/envs/geeco-nut-cone.xml:41-54), so one hull per mesh geom is
+  the exact convex narrowphase shape.
+  """
+  from scipy.spatial import ConvexHull
+  pts = np.asarray(verts, np.float64)
+  for res in (0, 12, 10, 8, 6, 5, 4, 3, 2):
+    p = pts
+    if res:  # cluster-decimate on a grid, keep cluster means
+      lo = p.min(0)
+      extent = np.maximum(p.max(0) - lo, 1e-9)
+      cell = extent.max() / res
+      key = np.floor((p - lo) / cell).astype(np.int64)
+      key1 = key[:, 0] * 1000000 + key[:, 1] * 1000 + key[:, 2]
+      uniq, inv = np.unique(key1, return_inverse=True)
+      rep = np.zeros((len(uniq), 3))
+      cnt = np.zeros(len(uniq))
+      np.add.at(rep, inv, p)
+      np.add.at(cnt, inv, 1)
+      p = rep / cnt[:, None]
+    try:
+      hull = ConvexHull(p)
+    except Exception:
+      continue
+    hv = p[hull.vertices]
+    # merge coplanar triangulated facets into unique half-spaces
+    eq = hull.equations  # [m, 4]: n·x + d <= 0
+    eqr = np.round(eq / 1e-4) * 1e-4
+    planes = np.unique(eqr, axis=0)
+    if hv.shape[0] <= vmax and planes.shape[0] <= fmax:
+      nv, nf = hv.shape[0], planes.shape[0]
+      vert = np.zeros((vmax, 3), np.float32)
+      vert[:nv] = hv
+      vmask = np.zeros(vmax, np.float32)
+      vmask[:nv] = 1.0
+      face = np.zeros((fmax, 4), np.float32)
+      face[:nf, :3] = planes[:, :3]
+      face[:nf, 3] = -planes[:, 3]     # n·x <= off
+      fmask = np.zeros(fmax, np.float32)
+      fmask[:nf] = 1.0
+      return vert, vmask, face, fmask
+  raise ValueError('hull decimation failed to fit budgets')
 
 
 def _quat_to_mat_np(q):
@@ -732,11 +791,8 @@ def load_model(xml_path: str) -> Tuple[Model, Assets]:
       ct2, ca2 = builder.geom['contype'][g2], builder.geom['conaffinity'][g2]
       if not ((ct1 & ca2) or (ct2 & ca1)):
         continue
-      t1 = builder.geom['type'][g1]
-      t2 = builder.geom['type'][g2]
-      # treat mesh as box proxy
-      t1c = BOX if t1 == MESH else t1
-      t2c = BOX if t2 == MESH else t2
+      t1c = builder.geom['type'][g1]
+      t2c = builder.geom['type'][g2]
       if t1c == PLANE and t2c == PLANE:
         continue
       if w1 == 0 and w2 == 0:
@@ -750,6 +806,15 @@ def load_model(xml_path: str) -> Tuple[Model, Assets]:
 
   col_pairs = tuple(sorted(
       (key, tuple(pairs)) for key, pairs in pair_groups.items()))
+
+  # --- convex hulls (one per mesh asset; geom_hullid == geom meshid)
+  hull_vert, hull_vmask, hull_face, hull_fmask = [], [], [], []
+  for mesh in builder.assets.meshes:
+    hv, hvm, hf, hfm = build_hull(mesh.vert)
+    hull_vert.append(hv)
+    hull_vmask.append(hvm)
+    hull_face.append(hf)
+    hull_fmask.append(hfm)
 
   f32 = lambda x: jnp.asarray(np.asarray(x, np.float64), jnp.float32)
 
@@ -851,6 +916,15 @@ def load_model(xml_path: str) -> Tuple[Model, Assets]:
       eq_solref=f32(np.stack(eq_solref) if eq_body1 else np.zeros((0, 2))),
       eq_solimp=f32(np.stack(eq_solimp) if eq_body1 else np.zeros((0, 3))),
       col_pairs=col_pairs,
+      geom_hullid=tuple(builder.geom['meshid']),
+      hull_vert=f32(np.stack(hull_vert) if hull_vert
+                    else np.zeros((0, HULL_VMAX, 3))),
+      hull_vmask=f32(np.stack(hull_vmask) if hull_vert
+                     else np.zeros((0, HULL_VMAX))),
+      hull_face=f32(np.stack(hull_face) if hull_vert
+                    else np.zeros((0, HULL_FMAX, 4))),
+      hull_fmask=f32(np.stack(hull_fmask) if hull_vert
+                     else np.zeros((0, HULL_FMAX))),
       qpos0=f32(qpos0),
   )
   return model, assets

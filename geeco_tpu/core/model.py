@@ -147,6 +147,15 @@ class Model:
   # --- collision pair groups: ((typecode1, typecode2), ((g1, g2), ...)) ---
   col_pairs: Tuple[Any, ...] = struct.field(pytree_node=False)
 
+  # --- convex hulls for mesh narrowphase (padded; empty when no meshes).
+  #     Hull h of geom g (geom_hullid[g]) is in the geom frame (AABB-centered
+  #     like the render mesh).  Faces are half-spaces n·x <= off. ---
+  geom_hullid: Tuple[int, ...] = struct.field(pytree_node=False)
+  hull_vert: jax.Array       # [nhull, HV, 3]
+  hull_vmask: jax.Array      # [nhull, HV] 1.0 = valid vertex
+  hull_face: jax.Array       # [nhull, HF, 4] (nx, ny, nz, off)
+  hull_fmask: jax.Array      # [nhull, HF] 1.0 = valid face
+
   # --- default qpos (reference configuration) ---
   qpos0: jax.Array           # [nq]
 

@@ -185,7 +185,8 @@ def input_pipeline(dataset_dir: str, split_name: str, mode: str,
                    batch_size: int = 32, num_epochs: int = 1,
                    shuffle: bool = True, seed: Optional[int] = None,
                    drop_remainder: bool = True,
-                   prefetch: bool = True) -> Iterator:
+                   prefetch: bool = True,
+                   with_depth: bool = True) -> Iterator:
   """Yields (feature, label) dict batches; sequential windows within an
   episode keep their order inside a batch slot (the LSTM state-carry
   training semantics, see models/e2evmc).
@@ -251,16 +252,18 @@ def input_pipeline(dataset_dir: str, split_name: str, mode: str,
       if rgb_u8 is not None:
         rgb, d = _gather_frames(rgb_u8, depth, sl)
         feature['rgb'] = rgb
-        feature['depth'] = d
+        if with_depth:   # rgb-only models never read depth: don't ship it
+          feature['depth'] = d
         if fetch_target:
           tgt_rgb = rgb_u8[-1]
           feature['target_rgb'] = np.broadcast_to(
               tgt_rgb, (sl.shape[0],) + tgt_rgb.shape)
-          tgt_d = depth[-1].astype(np.float32)
-          if tgt_d.ndim == 2:
-            tgt_d = tgt_d[..., None]
-          feature['target_depth'] = np.broadcast_to(
-              tgt_d, (sl.shape[0],) + tgt_d.shape)
+          if with_depth:
+            tgt_d = depth[-1].astype(np.float32)
+            if tgt_d.ndim == 2:
+              tgt_d = tgt_d[..., None]
+            feature['target_depth'] = np.broadcast_to(
+                tgt_d, (sl.shape[0],) + tgt_d.shape)
       last = sl[:, -1]
       label = {
           'cmd': small['cmd'][last],

@@ -42,6 +42,10 @@ _POINTS = {
     (CYLINDER, ELLIPSOID): 1,
     (ELLIPSOID, ELLIPSOID): 1, (ELLIPSOID, BOX): 1,
     (BOX, BOX): 8,
+    # mesh (convex hull) narrowphase
+    (PLANE, MESH): 4, (SPHERE, MESH): 1, (ELLIPSOID, MESH): 1,
+    (CAPSULE, MESH): 3, (CYLINDER, MESH): 3, (BOX, MESH): 6,
+    (MESH, MESH): 6,
 }
 
 
@@ -226,6 +230,146 @@ def capsule_box(p1, q1, s1, p2, q2, s2):
   return pos, -n, d
 
 
+# ---------------------------------------------------------------------------
+# convex-hull kernels (mesh narrowphase)
+#
+# Hulls are padded (vert [HV,3] + vmask, face [HF,4] half-spaces n·x <= off
+# + fmask) in the geom frame (core/mjcf.py build_hull).  phi(x) =
+# max_f (n_f·x - off_f) is the exact signed distance inside and a lower
+# bound outside — sufficient for contact generation at the shallow
+# penetrations the soft-constraint solver operates at.  Contacts are
+# vertex-vs-face both ways (edge-edge pairs are approximated by the
+# nearest vertex candidates; the reference mesh tasks rest mesh objects
+# on/around each other where vertex-face dominates).
+# ---------------------------------------------------------------------------
+
+
+def _hull_phi_normal(pt_local, hf, hfm):
+  """Signed distance proxy and outward face normal at a local point."""
+  d = hf[:, :3] @ pt_local - hf[:, 3]
+  d = jnp.where(hfm > 0.5, d, -1e9)
+  i = jnp.argmax(d)
+  return d[i], hf[i, :3]
+
+
+def plane_hull(p1, q1, s1, p2, q2, hv2, hvm2):
+  """Plane (geom1) vs hull (geom2): 4 deepest vertices."""
+  pp, n = _plane_frame(p1, q1)
+  w = p2 + hv2 @ gm.quat_to_mat(q2).T            # [HV, 3] world verts
+  d = (w - pp) @ n
+  d = jnp.where(hvm2 > 0.5, d, 1e9)
+  neg, idx = jax.lax.top_k(-d, 4)
+  return w[idx], jnp.broadcast_to(n, (4, 3)), -neg
+
+
+def _sphere_hull_one(center, r, p2, q2, hf2, hfm2):
+  """Sphere-ish point (radius r) vs hull; returns (pos, n12, d)."""
+  R2 = gm.quat_to_mat(q2)
+  local = R2.T @ (center - p2)
+  phi, nloc = _hull_phi_normal(local, hf2, hfm2)
+  n_out = R2 @ nloc                              # hull -> sphere direction
+  d = phi - r
+  pos = center - n_out * (r + 0.5 * d)
+  return pos, -n_out, d                          # normal geom1 -> geom2
+
+
+def sphere_hull(p1, q1, s1, p2, q2, hf2, hfm2, t1=SPHERE):
+  r = _sphere_radius(t1, s1)
+  pos, n, d = _sphere_hull_one(p1, r, p2, q2, hf2, hfm2)
+  return pos[None], n[None], d[None]
+
+
+def capsule_hull(p1, q1, s1, p2, q2, hf2, hfm2):
+  a, b = _capsule_segment(p1, q1, s1)
+  pts = jnp.stack([a, 0.5 * (a + b), b])
+  return jax.vmap(
+      lambda c: _sphere_hull_one(c, s1[0], p2, q2, hf2, hfm2))(pts)
+
+
+def hull_hull(p1, q1, hv1, hvm1, hf1, hfm1,
+              p2, q2, hv2, hvm2, hf2, hfm2, npts: int = 6):
+  """Hull vs hull: face-axis SAT, deepest-vertex manifold.
+
+  Separating axes are the face normals of both hulls (edge-edge cross
+  axes are omitted, like MuJoCo's MPR this is approximate; the reference
+  mesh tasks rest objects on faces where this is exact).  The manifold is
+  the npts deepest vertices of the other hull along the best axis.
+  """
+  R1 = gm.quat_to_mat(q1)
+  R2 = gm.quat_to_mat(q2)
+  w1 = p1 + hv1 @ R1.T                           # [HV, 3]
+  w2 = p2 + hv2 @ R2.T
+
+  big = 1e9
+  # --- axes from A's faces (outward of A; candidate verts are B's)
+  nA = hf1[:, :3] @ R1.T                         # [F1, 3] world
+  supA = hf1[:, 3] + nA @ p1                     # support plane value
+  projA = w2 @ nA.T                              # [HV2, F1]
+  projA = jnp.where(hvm2[:, None] > 0.5, projA, big)
+  sepA = jnp.min(projA, axis=0) - supA           # [F1]
+  sepA = jnp.where(hfm1 > 0.5, sepA, -big)
+
+  # --- axes from B's faces (outward of B; candidate verts are A's)
+  nB = hf2[:, :3] @ R2.T                         # [F2, 3]
+  supB = hf2[:, 3] + nB @ p2
+  projB = w1 @ nB.T                              # [HV1, F2]
+  projB = jnp.where(hvm1[:, None] > 0.5, projB, big)
+  sepB = jnp.min(projB, axis=0) - supB           # [F2]
+  sepB = jnp.where(hfm2 > 0.5, sepB, -big)
+
+  F1 = sepA.shape[0]
+  sep = jnp.concatenate([sepA, sepB])
+  best = jnp.argmax(sep)
+  from_a = best < F1
+  iA = jnp.clip(best, 0, F1 - 1)
+  iB = jnp.clip(best - F1, 0, sepB.shape[0] - 1)
+
+  # per-vertex depth along the best axis, with a lateral gate: the
+  # candidate must lie (loosely) inside the other hull's remaining
+  # half-spaces, else a long body's far corners would fake contacts
+  lat_tol = 0.03
+  colsA = jax.lax.broadcasted_iota(jnp.int32, projA.shape, 1)
+  latA = jnp.max(jnp.where((colsA == iA) | (hfm1[None, :] < 0.5),
+                           -big, projA - supA[None, :]), axis=1)
+  dA = jnp.where(latA < lat_tol, projA[:, iA] - supA[iA], big)
+  colsB = jax.lax.broadcasted_iota(jnp.int32, projB.shape, 1)
+  latB = jnp.max(jnp.where((colsB == iB) | (hfm2[None, :] < 0.5),
+                           -big, projB - supB[None, :]), axis=1)
+  dB = jnp.where(latB < lat_tol, projB[:, iB] - supB[iB], big)
+  dd = jnp.where(from_a, dA, dB)                 # [HV] (HV1 == HV2)
+  pos = jnp.where(from_a, w2, w1)
+  n12 = jnp.where(from_a, nA[iA], -nB[iB])       # geom1 -> geom2
+
+  neg, idx = jax.lax.top_k(-dd, npts)
+  d_out = -neg
+  n_out = jnp.broadcast_to(n12, (npts, 3))
+  pos_out = pos[idx] - n_out * 0.5 * d_out[:, None]  # midpoint of overlap
+  return pos_out, n_out, d_out
+
+
+_BOX_FACES = np.concatenate([np.eye(3), -np.eye(3)]).astype(np.float32)
+
+
+def _box_as_hull(s, vmax: int):
+  """Box half-size -> hull arrays padded to vmax verts (8 real, 6 faces).
+
+  Padding matches the mesh hull vertex budget because hull_hull selects
+  candidate positions with a vertex-aligned where(from_a, w2, w1).
+  """
+  hv = jnp.zeros((vmax, 3)).at[:8].set(_CORNERS * s)
+  hvm = jnp.zeros(vmax).at[:8].set(1.0)
+  off = jnp.concatenate([s, s])
+  hf = jnp.concatenate([jnp.asarray(_BOX_FACES), off[:, None]], axis=1)
+  hfm = jnp.ones(6)
+  return hv, hvm, hf, hfm
+
+
+def box_hull(p1, q1, s1, p2, q2, hv2, hvm2, hf2, hfm2):
+  bv, bvm, bf, bfm = _box_as_hull(s1, hv2.shape[0])
+  return hull_hull(p1, q1, bv, bvm, bf, bfm,
+                   p2, q2, hv2, hvm2, hf2, hfm2, npts=6)
+
+
 def box_box(p1, q1, s1, p2, q2, s2):
   """SAT + corner-candidate manifold, up to 8 points."""
   R1 = gm.quat_to_mat(q1)
@@ -323,12 +467,17 @@ def _kernel(t1: int, t2: int):
 # ---------------------------------------------------------------------------
 
 
+def _hull_args(model: Model, geoms: np.ndarray):
+  hid = np.asarray([model.geom_hullid[g] for g in geoms], np.int32)
+  return (model.hull_vert[hid], model.hull_vmask[hid],
+          model.hull_face[hid], model.hull_fmask[hid])
+
+
 def collide(model: Model, kin: Kin) -> Contacts:
   """Evaluate all static pairs; returns fixed-size contact arrays."""
   all_pos, all_n, all_d = [], [], []
   geom1_rows, geom2_rows = [], []
   for (t1, t2), pairs in model.col_pairs:
-    kern = _kernel(t1, t2)
     npts = _POINTS[(t1, t2)]
     g1 = np.asarray([p[0] for p in pairs], np.int32)
     g2 = np.asarray([p[1] for p in pairs], np.int32)
@@ -338,7 +487,29 @@ def collide(model: Model, kin: Kin) -> Contacts:
     p2 = kin.geom_xpos[g2]
     q2 = kin.geom_xquat[g2]
     s2 = model.geom_size[g2]
-    pos, n, d = jax.vmap(kern)(p1, q1, s1, p2, q2, s2)  # [P, npts, ...]
+    if t2 == MESH:
+      hv2, hvm2, hf2, hfm2 = _hull_args(model, g2)
+      t1c = CAPSULE if t1 == CYLINDER else t1
+      if t1 == MESH:
+        hv1, hvm1, hf1, hfm1 = _hull_args(model, g1)
+        pos, n, d = jax.vmap(hull_hull)(p1, q1, hv1, hvm1, hf1, hfm1,
+                                        p2, q2, hv2, hvm2, hf2, hfm2)
+      elif t1c == PLANE:
+        pos, n, d = jax.vmap(plane_hull)(p1, q1, s1, p2, q2, hv2, hvm2)
+      elif t1c in (SPHERE, ELLIPSOID):
+        pos, n, d = jax.vmap(
+            lambda *a: sphere_hull(*a, t1=t1))(p1, q1, s1, p2, q2,
+                                               hf2, hfm2)
+      elif t1c == CAPSULE:
+        pos, n, d = jax.vmap(capsule_hull)(p1, q1, s1, p2, q2, hf2, hfm2)
+      elif t1c == BOX:
+        pos, n, d = jax.vmap(box_hull)(p1, q1, s1, p2, q2,
+                                       hv2, hvm2, hf2, hfm2)
+      else:
+        raise NotImplementedError(f'mesh collision vs type {t1}')
+    else:
+      kern = _kernel(t1, t2)
+      pos, n, d = jax.vmap(kern)(p1, q1, s1, p2, q2, s2)  # [P, npts, ...]
     all_pos.append(pos.reshape(-1, 3))
     all_n.append(n.reshape(-1, 3))
     all_d.append(d.reshape(-1))

@@ -119,7 +119,8 @@ def main(args):
     for batch in input_pipeline(
         args.dataset_dir, args.split_name, 'train',
         window_size=config.window_size, fetch_target=goal_conditioned,
-        batch_size=config.batch_size, num_epochs=1, seed=args.seed + epoch):
+        batch_size=config.batch_size, num_epochs=1, seed=args.seed + epoch,
+        with_depth=config.img_channels == 4):
       f, l = to_device(batch)
       ts, m = train_step(ts, f, l)
       global_step += 1
@@ -144,7 +145,8 @@ def main(args):
     for batch in input_pipeline(
         args.dataset_dir, args.split_name, 'eval',
         window_size=config.window_size, fetch_target=goal_conditioned,
-        batch_size=config.batch_size, num_epochs=1, shuffle=False):
+        batch_size=config.batch_size, num_epochs=1, shuffle=False,
+        with_depth=config.img_channels == 4):
       f, l = to_device(batch)
       m = eval_step(ts, f, l)
       eval_losses.append(float(m['loss']))
