@@ -174,6 +174,8 @@ def _gather_frames(rgb_u8, depth, idx):
   """Window-index into the episode frames (rgb stays uint8: 4x less
   host->device traffic; the train step normalizes on device)."""
   rgb = rgb_u8[idx]
+  if depth is None:
+    return rgb, None
   d = depth[idx].astype(np.float32)
   if d.ndim == 4:
     d = d[..., None]
@@ -252,13 +254,14 @@ def input_pipeline(dataset_dir: str, split_name: str, mode: str,
       if rgb_u8 is not None:
         rgb, d = _gather_frames(rgb_u8, depth, sl)
         feature['rgb'] = rgb
-        if with_depth:   # rgb-only models never read depth: don't ship it
+        if with_depth and d is not None:
+          # rgb-only models never read depth: don't ship it
           feature['depth'] = d
         if fetch_target:
           tgt_rgb = rgb_u8[-1]
           feature['target_rgb'] = np.broadcast_to(
               tgt_rgb, (sl.shape[0],) + tgt_rgb.shape)
-          if with_depth:
+          if with_depth and depth is not None:
             tgt_d = depth[-1].astype(np.float32)
             if tgt_d.ndim == 2:
               tgt_d = tgt_d[..., None]

@@ -49,7 +49,8 @@ def meta_info_dict(env: GeecoEnv) -> Dict:
   }
 
 
-def make_record_fn(env: GeecoEnv, with_frames: bool = True):
+def make_record_fn(env: GeecoEnv, with_frames: bool = True,
+                   with_depth: bool = True):
   """Per-step record function for expert.rollout(record_fn=...)."""
 
   m = env.model
@@ -64,7 +65,8 @@ def make_record_fn(env: GeecoEnv, with_frames: bool = True):
     if with_frames:
       rgb, depth = env.render(es)
       rec['rgb'] = rgb
-      rec['depth'] = depth.astype(jnp.float32)
+      if with_depth:
+        rec['depth'] = depth.astype(jnp.float32)
     for jname in env.monitored_joints:
       j = m.joint(jname)
       rec[f'joint_qpos-{jname}'] = es.phys.qpos[m.jnt_qposadr[j]]
@@ -88,11 +90,15 @@ def make_record_fn(env: GeecoEnv, with_frames: bool = True):
   return record
 
 
-def save_episode_npz(path: str, records: Dict, context: Dict):
+def save_episode_npz(path: str, records: Dict, context: Dict,
+                     compress: bool = True):
   """Write stacked per-step records + context sidecar."""
   arrays = {k: np.asarray(v) for k, v in records.items()}
   os.makedirs(os.path.dirname(path), exist_ok=True)
-  np.savez_compressed(path, **arrays)
+  if compress:
+    np.savez_compressed(path, **arrays)
+  else:
+    np.savez(path, **arrays)
   with open(path.replace('.npz', '.json'), 'w') as fp:
     json.dump(context, fp, indent=2, sort_keys=True)
 

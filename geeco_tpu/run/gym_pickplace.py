@@ -43,6 +43,10 @@ ARGPARSER.add_argument('--observation_format', type=str, default='rgb')
 ARGPARSER.add_argument('--num_envs', type=int, default=1,
                        help='TPU extension: vectorized env batch')
 ARGPARSER.add_argument('--seed', type=int, default=0)
+ARGPARSER.add_argument('--dataset_formats', type=str, default='all',
+                       choices=['all', 'npz'],
+                       help='npz = fast uncompressed training collect '
+                            '(skips pkl/tfrecord sidecars and depth)')
 ARGPARSER.add_argument('--debug', default=False, action='store_true')
 
 if __name__ == '__main__':

@@ -81,7 +81,9 @@ def run_collect(args):
   specs = _load_specs(env, args)
   expert = make_expert(env)
   with_frames = args.rendering_mode == 'tfrecord'
-  record_fn = make_record_fn(env, with_frames=with_frames)
+  fast = getattr(args, 'dataset_formats', 'all') == 'npz'
+  record_fn = make_record_fn(env, with_frames=with_frames,
+                             with_depth=not fast)
 
   # dataset meta (gym_pickplace.py:744-747); also placed under meta/ to
   # form a ready-to-train dataset directory (geeco_gym.py:283-289 layout)
@@ -139,7 +141,9 @@ def run_collect(args):
     def write_episode(episode_id, rec_k, ctx):
       name = f'replay_buffer_{episode_id:04d}'
       save_episode_npz(os.path.join(wrk_dir, 'data', f'{name}.npz'),
-                       rec_k, ctx)
+                       rec_k, ctx, compress=not fast)
+      if fast:  # npz-only fast path for large training collections
+        return
       save_replay_buffer_pkl(os.path.join(wrk_dir, f'{name}.pkl'), env,
                              rec_k, ctx)
       if with_frames:  # reference-format zlib TFRecord (native encoder)
