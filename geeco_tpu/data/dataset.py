@@ -188,7 +188,8 @@ def input_pipeline(dataset_dir: str, split_name: str, mode: str,
                    shuffle: bool = True, seed: Optional[int] = None,
                    drop_remainder: bool = True,
                    prefetch: bool = True,
-                   with_depth: bool = True) -> Iterator:
+                   with_depth: bool = True,
+                   dedup_frames: bool = True) -> Iterator:
   """Yields (feature, label) dict batches; sequential windows within an
   episode keep their order inside a batch slot (the LSTM state-carry
   training semantics, see models/e2evmc).
@@ -252,21 +253,31 @@ def input_pipeline(dataset_dir: str, split_name: str, mode: str,
                  ('step', 'ts', 'jnt_state', 'vel_state', 'ee_state',
                   'grp_state', 'goal_state', 'obj_state', 'cmd', 'ctrl')}
       if rgb_u8 is not None:
-        rgb, d = _gather_frames(rgb_u8, depth, sl)
-        feature['rgb'] = rgb
-        if with_depth and d is not None:
-          # rgb-only models never read depth: don't ship it
-          feature['depth'] = d
-        if fetch_target:
-          tgt_rgb = rgb_u8[-1]
-          feature['target_rgb'] = np.broadcast_to(
-              tgt_rgb, (sl.shape[0],) + tgt_rgb.shape)
-          if with_depth and depth is not None:
-            tgt_d = depth[-1].astype(np.float32)
-            if tgt_d.ndim == 2:
-              tgt_d = tgt_d[..., None]
-            feature['target_depth'] = np.broadcast_to(
-                tgt_d, (sl.shape[0],) + tgt_d.shape)
+        if dedup_frames and not with_depth:
+          # windows are consecutive: ship the [lo, hi) unique frame slab
+          # once plus window indices (consecutive windows share K-1
+          # frames; dense shipping re-sends each frame ~K times)
+          lo, hi = int(sl.min()), int(sl.max()) + 1
+          feature['rgb_frames'] = rgb_u8[lo:hi]
+          feature['rgb_idx'] = (sl - lo).astype(np.int32)
+          if fetch_target:
+            feature['target_rgb'] = rgb_u8[-1][None]
+        else:
+          rgb, d = _gather_frames(rgb_u8, depth, sl)
+          feature['rgb'] = rgb
+          if with_depth and d is not None:
+            # rgb-only models never read depth: don't ship it
+            feature['depth'] = d
+          if fetch_target:
+            tgt_rgb = rgb_u8[-1]
+            feature['target_rgb'] = np.broadcast_to(
+                tgt_rgb, (sl.shape[0],) + tgt_rgb.shape)
+            if with_depth and depth is not None:
+              tgt_d = depth[-1].astype(np.float32)
+              if tgt_d.ndim == 2:
+                tgt_d = tgt_d[..., None]
+              feature['target_depth'] = np.broadcast_to(
+                  tgt_d, (sl.shape[0],) + tgt_d.shape)
       last = sl[:, -1]
       label = {
           'cmd': small['cmd'][last],

@@ -71,8 +71,17 @@ def _norm_rgb(x: jax.Array) -> jax.Array:
 
 
 def obs_frames(config: E2EVMCConfig, feature: Dict) -> jax.Array:
-  """RGB or RGB-D observation stack (estimator.py:30-39)."""
-  rgb = _norm_rgb(feature['rgb'])
+  """RGB or RGB-D observation stack (estimator.py:30-39).
+
+  Accepts either dense frames ('rgb' [B, K, H, W, 3]) or the deduplicated
+  form the input pipeline ships ('rgb_frames' [F, H, W, 3] uint8 +
+  'rgb_idx' [B, K]): consecutive windows of one episode share K-1 frames,
+  so the dense form re-ships every frame ~K times — and the axon client
+  retains every shipped buffer, so host RSS scales with bytes shipped."""
+  if 'rgb_idx' in feature:
+    rgb = _norm_rgb(feature['rgb_frames'])[feature['rgb_idx']]
+  else:
+    rgb = _norm_rgb(feature['rgb'])
   if config.img_channels == 3:
     return rgb
   return jnp.concatenate([rgb, feature['depth']], axis=-1)
@@ -80,6 +89,10 @@ def obs_frames(config: E2EVMCConfig, feature: Dict) -> jax.Array:
 
 def tgt_frame(config: E2EVMCConfig, feature: Dict) -> jax.Array:
   rgb = _norm_rgb(feature['target_rgb'])
+  if 'rgb_idx' in feature and rgb.shape[0] == 1:
+    # pipeline ships one shared target frame per (single-episode) batch
+    rgb = jnp.broadcast_to(rgb, (feature['rgb_idx'].shape[0],) +
+                           rgb.shape[1:])
   if config.img_channels == 3:
     return rgb
   return jnp.concatenate([rgb, feature['target_depth']], axis=-1)
@@ -217,4 +230,13 @@ def shard_train_state(ts: TrainState, mesh: Mesh) -> TrainState:
 
 def shard_batch(batch, mesh: Mesh):
   sh = NamedSharding(mesh, P('data'))
-  return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh), batch)
+  repl = NamedSharding(mesh, P())
+  n = mesh.devices.size
+
+  def put(x):
+    x = jnp.asarray(x)
+    # batch-indexed leaves shard over 'data'; shared slabs (deduplicated
+    # frame buffers, single target frames) replicate
+    good = x.ndim > 0 and x.shape[0] % n == 0
+    return jax.device_put(x, sh if good else repl)
+  return jax.tree.map(put, batch)
