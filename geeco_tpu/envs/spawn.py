@@ -37,7 +37,9 @@ def sample_spawn_points(rng: jax.Array, grid: jnp.ndarray,
 def sample_point_within_sphere(rng: jax.Array, radius: float = 1.0
                                ) -> jax.Array:
   ru, rn = jax.random.split(rng)
-  u = jax.random.uniform(ru, (), minval=0.0, maxval=radius)
-  x = jax.random.normal(rn, (3,)) * radius
+  # uniform in the ball: direction uniform on the sphere, radius ~ cbrt(U)
+  # (reference: src/geeco_gym/utils/volumes.py:5-15)
+  u = jax.random.uniform(ru, ())
+  x = jax.random.normal(rn, (3,))
   x = x / jnp.maximum(jnp.linalg.norm(x), 1e-9)
-  return x * jnp.cbrt(u)
+  return x * radius * jnp.cbrt(u)

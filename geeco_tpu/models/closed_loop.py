@@ -90,9 +90,42 @@ def make_closed_loop(env: GeecoEnv, config: E2EVMCConfig,
   return step_fn
 
 
+def synth_target_frames(env: GeecoEnv, config: E2EVMCConfig, es):
+  """Goal/target frames for a batch of (randomly reset) envs.
+
+  The reference conditions on an image of the accomplished task (target
+  frame of a recorded episode, predictor.py:206-208).  For random resets
+  no recording exists, so render one: teleport the task object onto its
+  task goal site, render, and restore nothing (pure function on a copy).
+  """
+
+  def one(e):
+    kin = env.kin(e)
+    goal = kin.site_xpos[jnp.asarray(env.goal_site_ids)][e.task_goal]
+    qpos = e.phys.qpos
+    m = env.model
+    for i, site in enumerate(env.cube_sites):
+      jname = f'{site}:joint'
+      j = m.joint(jname)
+      adr = m.jnt_qposadr[j]
+      cur = jax.lax.dynamic_slice(qpos, (adr,), (7,))
+      new = jnp.concatenate([goal[:2], cur[2:3], cur[3:7]])
+      sel = (e.task_object == i)
+      qpos = jax.lax.dynamic_update_slice(
+          qpos, jnp.where(sel, new, cur), (adr,))
+    kin_t = env.stepper.fk(e.phys.replace(qpos=qpos))
+    rgb, depth = env.renderer.render(kin_t, e.rgba)
+    obs = rgb.astype(jnp.float32) / 255.0
+    if config.img_channels == 4:
+      obs = jnp.concatenate([obs, depth[..., None]], axis=-1)
+    return obs
+
+  return jax.jit(jax.vmap(one))(es)
+
+
 def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
                      goal_conditioned: bool, rngs, tgt_frames=None,
-                     n_steps: int = 200) -> Dict[str, jax.Array]:
+                     n_steps: int = 200, es0=None) -> Dict[str, jax.Array]:
   """Reset + closed-loop rollout for a batch of envs; returns metrics.
 
   One batched policy+env step is jit-compiled and iterated from the host
@@ -101,11 +134,15 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
   """
   env.setup()
   step_fn = make_closed_loop(env, config, goal_conditioned)
-  es = jax.jit(jax.vmap(env.reset_random))(rngs)
+  es = es0 if es0 is not None else \
+      jax.jit(jax.vmap(env.reset_random))(rngs)
   B = rngs.shape[0]
   if tgt_frames is None:
-    tgt_frames = jnp.zeros((B, config.img_height, config.img_width,
-                            config.img_channels))
+    if goal_conditioned:
+      tgt_frames = synth_target_frames(env, config, es)
+    else:
+      tgt_frames = jnp.zeros((B, config.img_height, config.img_width,
+                              config.img_channels))
 
   batched = jax.jit(jax.vmap(step_fn, in_axes=(None, 0, 0, 0)))
   ps = jax.tree.map(lambda x: jnp.stack([x] * B), init_policy_state(config))

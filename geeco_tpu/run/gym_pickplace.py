@@ -43,6 +43,8 @@ ARGPARSER.add_argument('--observation_format', type=str, default='rgb')
 ARGPARSER.add_argument('--num_envs', type=int, default=1,
                        help='TPU extension: vectorized env batch')
 ARGPARSER.add_argument('--seed', type=int, default=0)
+ARGPARSER.add_argument('--split_name', type=str, default='default',
+                       help='dataset split for controller-mode eval')
 ARGPARSER.add_argument('--dataset_formats', type=str, default='all',
                        choices=['all', 'npz'],
                        help='npz = fast uncompressed training collect '

@@ -261,9 +261,46 @@ def run_random(args):
 # ---------------------------------------------------------------- controller
 
 
+def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
+  """Queued resets + recorded target frames from the test split.
+
+  The reference controller protocol (gym_pickplace.py:655, 3.2 in
+  SURVEY.md) replays recorded initial states and conditions on the
+  episode's target frame; here both come straight from collected npz
+  episodes.
+  """
+  import jax.numpy as jnp
+  from ..data.dataset import list_records
+  from ..data.episode import load_episode_npz
+  from ..envs.base import ResetSpec
+  paths = list_records(dataset_dir, split_name, 'test')
+  if n_eps > 0:
+    paths = paths[:n_eps]
+  objq, mocapq, goals, objs, tgts = [], [], [], [], []
+  for p in paths:
+    ep, ctx = load_episode_npz(p)
+    oq = np.stack([np.asarray(ep[f'object_qpos-{j}'][0])
+                   for j in env.obj_joint_names])
+    oq = oq.copy()
+    oq[:, 2] -= 0.025          # reset_to re-adds the table-height adjust
+    objq.append(oq)
+    mocapq.append(np.asarray(ep['mocap_qpos-robot0:mocap'][0]))
+    goals.append(env.goal_sites.index(ctx['task_goal']))
+    objs.append(env.cube_sites.index(ctx['task_object']))
+    tgts.append(ep['rgb'][-1].astype(np.float32) / 255.0)
+  specs = ResetSpec(
+      obj_qpos=jnp.asarray(np.stack(objq), jnp.float32),
+      mocap_qpos=jnp.asarray(np.stack(mocapq), jnp.float32),
+      task_goal=jnp.asarray(goals, jnp.int32),
+      task_object=jnp.asarray(objs, jnp.int32))
+  return specs, np.stack(tgts), len(paths)
+
+
 def run_controller_batched(args):
   """Fully on-device closed-loop eval: policy + physics + render inside one
-  jitted rollout, vmapped over --num_envs (random resets)."""
+  jitted rollout, vmapped over --num_envs.  With --dataset_dir set, resets
+  and goal frames come from the test split (reference protocol); otherwise
+  resets are random and goal frames are synthesized renders."""
   import jax
   import jax.numpy as jnp
   from ..models.closed_loop import evaluate_batched
@@ -281,6 +318,13 @@ def run_controller_batched(args):
 
   B = args.num_envs
   n_eps = args.end_idx - args.start_idx
+  specs = tgt_all = None
+  if args.dataset_dir:
+    specs, tgt_all, n_eps = _dataset_eval_set(
+        env, args.dataset_dir, getattr(args, 'split_name', 'default'),
+        n_eps)
+    env.setup()
+    reset_to_batch = jax.jit(jax.vmap(env.reset_to))
   rng = jax.random.PRNGKey(args.seed)
   rows = []
   for chunk in range(0, n_eps, B):
@@ -289,8 +333,20 @@ def run_controller_batched(args):
     rngs = jax.random.split(sub, B)
     episode_steps = (args.max_episode_steps if args.max_episode_steps > 0
                      else EPISODE_STEPS_CONTROL)
-    agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
-                           n_steps=episode_steps)
+    if specs is not None:
+      idx = np.minimum(np.arange(chunk, chunk + B), n_eps - 1)
+      spec_chunk = jax.tree.map(lambda x: x[jnp.asarray(idx)], specs)
+      es0 = reset_to_batch(spec_chunk, rngs)
+      tgt = jnp.asarray(tgt_all[idx])
+      if config.img_channels == 4:
+        tgt = jnp.concatenate(
+            [tgt, jnp.zeros(tgt.shape[:-1] + (1,))], axis=-1)
+      agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
+                             tgt_frames=tgt, n_steps=episode_steps,
+                             es0=es0)
+    else:
+      agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
+                             n_steps=episode_steps)
     agg = {k: np.asarray(v) for k, v in agg.items()}
     for k in range(n):
       rows.append({

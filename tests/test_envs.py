@@ -97,3 +97,16 @@ def test_render_env(env, es0):
   # red object0 visible after recolor
   red = (rgb[:, :, 0] > 150) & (rgb[:, :, 1] < 90) & (rgb[:, :, 2] < 90)
   assert red.sum() > 3
+
+
+def test_sphere_sample_within_radius():
+  """EE start perturbation stays in the reference 0.03-radius ball
+  (pickplace.py:521; utils/volumes.py)."""
+  import jax
+  import numpy as np
+  from geeco_tpu.envs import spawn
+  rngs = jax.random.split(jax.random.PRNGKey(0), 256)
+  pts = jax.vmap(lambda r: spawn.sample_point_within_sphere(r, 0.03))(rngs)
+  norms = np.linalg.norm(np.asarray(pts), axis=1)
+  assert norms.max() <= 0.03 + 1e-6
+  assert norms.mean() > 0.01  # not collapsed to the center
