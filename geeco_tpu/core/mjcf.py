@@ -295,42 +295,63 @@ def build_hull(verts: np.ndarray, vmax: int = HULL_VMAX,
   """
   from scipy.spatial import ConvexHull
   pts = np.asarray(verts, np.float64)
-  for res in (0, 12, 10, 8, 6, 5, 4, 3, 2):
-    p = pts
-    if res:  # cluster-decimate on a grid, keep cluster means
-      lo = p.min(0)
-      extent = np.maximum(p.max(0) - lo, 1e-9)
-      cell = extent.max() / res
-      key = np.floor((p - lo) / cell).astype(np.int64)
-      key1 = key[:, 0] * 1000000 + key[:, 1] * 1000 + key[:, 2]
-      uniq, inv = np.unique(key1, return_inverse=True)
-      rep = np.zeros((len(uniq), 3))
-      cnt = np.zeros(len(uniq))
-      np.add.at(rep, inv, p)
-      np.add.at(cnt, inv, 1)
-      p = rep / cnt[:, None]
-    try:
-      hull = ConvexHull(p)
-    except Exception:
-      continue
+  assert fmax >= 2 * vmax - 4, 'face budget must fit a hull on vmax verts'
+
+  def directions(n):
+    """6 axis directions + (n-6) Fibonacci-sphere directions."""
+    axes = np.concatenate([np.eye(3), -np.eye(3)])
+    k = np.arange(n - 6) + 0.5
+    phi = np.arccos(1.0 - 2.0 * k / (n - 6))
+    theta = np.pi * (1.0 + np.sqrt(5.0)) * k
+    fib = np.stack([np.sin(phi) * np.cos(theta),
+                    np.sin(phi) * np.sin(theta), np.cos(phi)], -1)
+    return np.concatenate([axes, fib])
+
+  def finish(p):
+    hull = ConvexHull(p)
     hv = p[hull.vertices]
     # merge coplanar triangulated facets into unique half-spaces
     eq = hull.equations  # [m, 4]: n·x + d <= 0
     eqr = np.round(eq / 1e-4) * 1e-4
     planes = np.unique(eqr, axis=0)
-    if hv.shape[0] <= vmax and planes.shape[0] <= fmax:
-      nv, nf = hv.shape[0], planes.shape[0]
-      vert = np.zeros((vmax, 3), np.float32)
-      vert[:nv] = hv
-      vmask = np.zeros(vmax, np.float32)
-      vmask[:nv] = 1.0
-      face = np.zeros((fmax, 4), np.float32)
-      face[:nf, :3] = planes[:, :3]
-      face[:nf, 3] = -planes[:, 3]     # n·x <= off
-      fmask = np.zeros(fmax, np.float32)
-      fmask[:nf] = 1.0
-      return vert, vmask, face, fmask
-  raise ValueError('hull decimation failed to fit budgets')
+    if hv.shape[0] > vmax or planes.shape[0] > fmax:
+      return None
+    # support-point decimation must preserve the AABB exactly
+    shrink = max(float((pts.min(0) - hv.min(0)).max()),
+                 float((hv.max(0) - pts.max(0)).max()))
+    assert shrink <= 1e-6, (
+        f'hull decimation shrank AABB by {shrink:.6f}')
+    nv, nf = hv.shape[0], planes.shape[0]
+    vert = np.zeros((vmax, 3), np.float32)
+    vert[:nv] = hv
+    vmask = np.zeros(vmax, np.float32)
+    vmask[:nv] = 1.0
+    face = np.zeros((fmax, 4), np.float32)
+    face[:nf, :3] = planes[:, :3]
+    face[:nf, 3] = -planes[:, 3]     # n·x <= off
+    fmask = np.zeros(fmax, np.float32)
+    fmask[:nf] = 1.0
+    return vert, vmask, face, fmask
+
+  # exact hull if it already fits the budgets
+  try:
+    out = finish(pts)
+    if out is not None:
+      return out
+  except AssertionError:
+    raise
+  except Exception:
+    pass
+  # decimate to support points along vmax fixed directions: every kept
+  # vertex is an ORIGINAL surface point (cluster means would lie strictly
+  # inside the hull — the shape silently shrinks and contacts fire late),
+  # the 6 axis directions pin the AABB exactly, and the counts are bounded
+  # by construction (nv <= vmax, facets <= 2*vmax-4 <= fmax).
+  idx = np.unique(np.argmax(pts @ directions(vmax).T, axis=0))
+  out = finish(pts[idx])
+  if out is None:
+    raise ValueError('hull decimation failed to fit budgets')
+  return out
 
 
 def _quat_to_mat_np(q):

@@ -28,6 +28,7 @@ Reproduced behavioral contract (file:line = reference):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -46,7 +47,13 @@ from . import spawn
 
 # ---------------------------------------------------------------- constants
 
-ASSET_ROOT = '/root/reference/assets/gym'
+# Vendored copy of the reference asset tree (MJCF scenes, robot, meshes,
+# textures; upstream assets/gym/).  Overridable via GEECO_ASSET_ROOT for
+# running against an external checkout.
+ASSET_ROOT = os.environ.get(
+    'GEECO_ASSET_ROOT',
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 'assets_gym'))
 
 MODEL_XML = {
     # pick & place scenes (pickplace.py:24-46)

@@ -228,15 +228,27 @@ def shard_train_state(ts: TrainState, mesh: Mesh) -> TrainState:
   return ts.replace(lstm_carry=carry)
 
 
+# Features that are shared across the batch rather than batch-indexed:
+# 'rgb_frames' is the deduplicated frame slab ([F, H, W, 3], F = B+K-1),
+# 'target_rgb'/'target_depth' may be a single shared goal frame ([1, ...]).
+_REPLICATED_FEATURES = frozenset({'rgb_frames'})
+
+
 def shard_batch(batch, mesh: Mesh):
   sh = NamedSharding(mesh, P('data'))
   repl = NamedSharding(mesh, P())
   n = mesh.devices.size
 
-  def put(x):
+  def put(path, x):
     x = jnp.asarray(x)
-    # batch-indexed leaves shard over 'data'; shared slabs (deduplicated
-    # frame buffers, single target frames) replicate
-    good = x.ndim > 0 and x.shape[0] % n == 0
-    return jax.device_put(x, sh if good else repl)
-  return jax.tree.map(put, batch)
+    key = path[-1].key if path and hasattr(path[-1], 'key') else None
+    shared = (key in _REPLICATED_FEATURES
+              or (key in ('target_rgb', 'target_depth') and x.shape[0] == 1))
+    if shared or x.ndim == 0:
+      return jax.device_put(x, repl)
+    if x.shape[0] % n != 0:
+      raise ValueError(
+          f'batch leaf {key!r} has leading dim {x.shape[0]} not divisible '
+          f'by the {n}-device data axis')
+    return jax.device_put(x, sh)
+  return jax.tree_util.tree_map_with_path(put, batch)

@@ -415,8 +415,19 @@ def _raster_pallas_call(planes, tile: int, sky_packed: float,
   TS = tile
   npx = TS * TS
   K, n_tiles = planes[0].shape
-  TB = min(tiles_per_block, n_tiles)
   S = mid_sub
+  # TB must divide n_tiles exactly (the grid is n_tiles // TB blocks;
+  # a remainder would silently leave trailing tiles unrendered) and stay a
+  # multiple of S*S so each block holds whole mid regions.
+  TB = 0
+  for cand in range(min(tiles_per_block, n_tiles), 0, -1):
+    if n_tiles % cand == 0 and cand % (S * S) == 0:
+      TB = cand
+      break
+  if TB == 0:
+    raise ValueError(
+        f'no valid tile block size: n_tiles={n_tiles} has no divisor that '
+        f'is a multiple of mid_sub^2={S * S}')
 
   def kernel(x0r, y0r, x1r, y1r, x2r, y2r, iz0r, iz1r, iz2r, okr, colr,
              z_ref, c_ref):

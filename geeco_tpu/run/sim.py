@@ -276,7 +276,7 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
   paths = list_records(dataset_dir, split_name, 'test')
   if n_eps > 0:
     paths = paths[:n_eps]
-  objq, mocapq, goals, objs, tgts = [], [], [], [], []
+  objq, mocapq, goals, objs, tgts, tgt_depths = [], [], [], [], [], []
   for p in paths:
     ep, ctx = load_episode_npz(p)
     oq = np.stack([np.asarray(ep[f'object_qpos-{j}'][0])
@@ -288,12 +288,15 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
     goals.append(env.goal_sites.index(ctx['task_goal']))
     objs.append(env.cube_sites.index(ctx['task_object']))
     tgts.append(ep['rgb'][-1].astype(np.float32) / 255.0)
+    if 'depth' in ep:
+      tgt_depths.append(np.asarray(ep['depth'][-1], np.float32))
   specs = ResetSpec(
       obj_qpos=jnp.asarray(np.stack(objq), jnp.float32),
       mocap_qpos=jnp.asarray(np.stack(mocapq), jnp.float32),
       task_goal=jnp.asarray(goals, jnp.int32),
       task_object=jnp.asarray(objs, jnp.int32))
-  return specs, np.stack(tgts), len(paths)
+  depths = (np.stack(tgt_depths) if len(tgt_depths) == len(paths) else None)
+  return specs, np.stack(tgts), depths, len(paths)
 
 
 def run_controller_batched(args):
@@ -318,9 +321,9 @@ def run_controller_batched(args):
 
   B = args.num_envs
   n_eps = args.end_idx - args.start_idx
-  specs = tgt_all = None
+  specs = tgt_all = tgt_depth_all = None
   if args.dataset_dir:
-    specs, tgt_all, n_eps = _dataset_eval_set(
+    specs, tgt_all, tgt_depth_all, n_eps = _dataset_eval_set(
         env, args.dataset_dir, getattr(args, 'split_name', 'default'),
         n_eps)
     env.setup()
@@ -339,8 +342,16 @@ def run_controller_batched(args):
       es0 = reset_to_batch(spec_chunk, rngs)
       tgt = jnp.asarray(tgt_all[idx])
       if config.img_channels == 4:
-        tgt = jnp.concatenate(
-            [tgt, jnp.zeros(tgt.shape[:-1] + (1,))], axis=-1)
+        if tgt_depth_all is not None:
+          d = jnp.asarray(tgt_depth_all[idx])[..., None]
+        else:
+          # episodes recorded without depth: zero-fill with a warning (an
+          # RGBD policy was trained on real goal depth; reference
+          # conditions on the recorded RGBD target frame)
+          print('WARNING: dataset episodes have no depth channel; '
+                'zero-filling the goal depth for an RGBD model')
+          d = jnp.zeros(tgt.shape[:-1] + (1,))
+        tgt = jnp.concatenate([tgt, d], axis=-1)
       agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
                              tgt_frames=tgt, n_steps=episode_steps,
                              es0=es0)

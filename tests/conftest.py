@@ -26,7 +26,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
   sys.path.insert(0, REPO_ROOT)
 
-REFERENCE_ASSETS = '/root/reference/assets/gym'
+REFERENCE_ASSETS = os.path.join(REPO_ROOT, 'geeco_tpu', 'assets_gym')
 
 
 def reference_xml(name: str) -> str:

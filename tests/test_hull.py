@@ -5,6 +5,7 @@ must collide with the plane/table, boxes (gripper fingers, pads) and each
 other (SURVEY.md §2.22: geeco-nut-cone.xml multi-convex bodies).
 """
 
+from tests.conftest import reference_xml
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -98,7 +99,7 @@ def test_box_hull_matches_box_box(cube_hull):
 
 def test_mesh_scene_pairs_and_contacts():
   m, a = mjcf.load_model(
-      '/root/reference/assets/gym/envs/geeco-nut-cone.xml')
+      reference_xml('geeco-nut-cone.xml'))
   keys = [k for k, _ in m.col_pairs]
   from geeco_tpu.core.model import MESH, PLANE
   assert (PLANE, MESH) in keys and (MESH, MESH) in keys

@@ -1,5 +1,6 @@
 """Contact, limit and weld constraint tests on minimal scenes."""
 
+from tests.conftest import reference_xml
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -196,7 +197,7 @@ def test_pad2_cube2_step_stable():
   """
   from geeco_tpu.core.model import set_joint_qpos
   model, _ = mjcf.load_model(
-      '/root/reference/assets/gym/envs/geeco-pad2-cube2.xml')
+      reference_xml('geeco-pad2-cube2.xml'))
   st = build_stepper(model)
   state = st.init_state(make_state(model))
   qpos = state.qpos

@@ -1,5 +1,6 @@
 """Smooth-dynamics unit tests against analytic cases."""
 
+from tests.conftest import reference_xml
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -185,7 +186,7 @@ def test_implicit_damping_freezes_stiff_slide(tmp_path):
 
 def test_fetch_scene_smooth_step_finite():
   model, _ = mjcf.load_model(
-      '/root/reference/assets/gym/envs/geeco-pad2-cube2.xml')
+      reference_xml('geeco-pad2-cube2.xml'))
   anc = K.ancestor_mask(model)
   dt = model.opt.timestep
   state = make_state(model)

@@ -1,5 +1,6 @@
 """Rasterizer tests on the real pad2-cube2 scene."""
 
+from tests.conftest import reference_xml
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,7 +15,7 @@ from geeco_tpu.render.rasterizer import build_renderer
 @pytest.fixture(scope='module')
 def rendered():
   model, assets = mjcf.load_model(
-      '/root/reference/assets/gym/envs/geeco-pad2-cube2.xml')
+      reference_xml('geeco-pad2-cube2.xml'))
   st = build_stepper(model)
   state = st.init_state(make_state(model))
   qpos = state.qpos
