@@ -53,10 +53,14 @@ def mass_matrix(model: Model, kin: Kin, jacp: jax.Array, jacr: jax.Array
   return M + jnp.diag(model.dof_armature)
 
 
-def bias_force(model: Model, state: State, kin: Kin, info: K.DofInfo,
-               jacp: jax.Array, jacr: jax.Array,
-               anc_mask: np.ndarray) -> jax.Array:
-  """qfrc_bias = C(q,v)v + g(q), via jvp through FK."""
+def kin_and_bias(model: Model, state: State, anc_mask: np.ndarray):
+  """One jvp sweep through FK yields the kinematics, Jacobians AND the
+  bias-force ingredients (body accelerations at constant qvel).
+
+  Returns (kin, info, jacp, jacr, qfrc_bias).  The primal pass of the jvp
+  IS the forward kinematics — computing kin separately would trace and run
+  FK twice per substep.
+  """
   qvel = state.qvel
 
   def body_twists(qpos):
@@ -66,45 +70,47 @@ def bias_force(model: Model, state: State, kin: Kin, info: K.DofInfo,
     jp, jr = K.com_jacobians(model, kin_q, info_q, anc_mask)
     v = jnp.einsum('bdi,d->bi', jp, qvel)
     w = jnp.einsum('bdi,d->bi', jr, qvel)
-    return v, w
+    return v, w, (kin_q, info_q, jp, jr)
 
   tangent = K.qpos_tangent(model, state.qpos, qvel)
-  (v, w), (a, alpha) = jax.jvp(body_twists, (state.qpos,), (tangent,))
+  (v, w, aux), (a, alpha, _) = jax.jvp(
+      body_twists, (state.qpos,), (tangent,))
+  kin, info, jacp, jacr = aux
 
   Iw = inertia_world(model, kin)
   g = model.opt.gravity
   f_lin = model.body_mass[:, None] * (a - g[None, :])         # [nbody, 3]
   Iww = jnp.einsum('bij,bj->bi', Iw, w)
   f_ang = jnp.einsum('bij,bj->bi', Iw, alpha) + jnp.cross(w, Iww)
-  return (jnp.einsum('bdi,bi->d', jacp, f_lin) +
-          jnp.einsum('bdi,bi->d', jacr, f_ang))
+  qfrc_bias = (jnp.einsum('bdi,bi->d', jacp, f_lin) +
+               jnp.einsum('bdi,bi->d', jacr, f_ang))
+  return kin, info, jacp, jacr, qfrc_bias
 
 
 def passive_force(model: Model, state: State) -> jax.Array:
   """Joint spring forces (damping is implicit in the integrator)."""
+  ks = K.kin_static(model)
   qfrc = jnp.zeros(model.nv)
-  for j in range(model.njnt):
-    if model.jnt_type[j] == FREE:
-      continue
-    qadr, dadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
-    stiff = model.jnt_stiffness[j]
-    qfrc = qfrc.at[dadr].add(
-        -stiff * (state.qpos[qadr] - model.jnt_springref[j]))
+  if len(ks.sj):
+    stiff = model.jnt_stiffness[ks.sj]
+    springref = model.jnt_springref[ks.sj]
+    qfrc = qfrc.at[ks.sj_dadr].add(
+        -stiff * (state.qpos[ks.sj_qadr] - springref))
   return qfrc
 
 
 def actuator_force(model: Model, state: State) -> jax.Array:
-  """Position-servo torques mapped into dof space."""
+  """Position-servo torques mapped into dof space (vectorized)."""
   qfrc = jnp.zeros(model.nv)
   if model.nu == 0:
     return qfrc
-  for i, j in enumerate(model.actuator_jntid):
-    qadr, dadr = model.jnt_qposadr[j], model.jnt_dofadr[j]
-    ctrl = jnp.clip(state.ctrl[i], model.actuator_ctrlrange[i, 0],
-                    model.actuator_ctrlrange[i, 1])
-    force = model.actuator_kp[i] * (ctrl - state.qpos[qadr])
-    qfrc = qfrc.at[dadr].add(force)
-  return qfrc
+  jid = np.asarray(model.actuator_jntid, np.int32)
+  qadr = np.asarray([model.jnt_qposadr[j] for j in jid], np.int32)
+  dadr = np.asarray([model.jnt_dofadr[j] for j in jid], np.int32)
+  ctrl = jnp.clip(state.ctrl, model.actuator_ctrlrange[:, 0],
+                  model.actuator_ctrlrange[:, 1])
+  force = model.actuator_kp * (ctrl - state.qpos[qadr])
+  return qfrc.at[dadr].add(force)
 
 
 def fluid_force(model: Model, state: State, kin: Kin, jacp: jax.Array,
@@ -138,11 +144,8 @@ def fluid_force(model: Model, state: State, kin: Kin, jacp: jax.Array,
 
 def smooth_dynamics(model: Model, state: State, anc_mask: np.ndarray,
                     dt) -> Smooth:
-  kin = K.fk(model, state)
-  info = K.dof_info(model, kin)
-  jacp, jacr = K.com_jacobians(model, kin, info, anc_mask)
+  kin, info, jacp, jacr, qfrc_bias = kin_and_bias(model, state, anc_mask)
   M = mass_matrix(model, kin, jacp, jacr)
-  qfrc_bias = bias_force(model, state, kin, info, jacp, jacr, anc_mask)
   qfrc = (actuator_force(model, state) + passive_force(model, state) +
           fluid_force(model, state, kin, jacp, jacr) - qfrc_bias)
   M_impl = M + dt * jnp.diag(model.dof_damping)
