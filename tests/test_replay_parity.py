@@ -1,0 +1,61 @@
+"""Cross-engine fidelity gate: a REAL-MuJoCo-recorded expert trajectory
+must replay open-loop to task success in the new engine.
+
+The fixture (tests/fixtures/mujoco_pickplace_pad2cube2.npz) was recorded by
+scripts_dev/record_mujoco_fixture.py driving the vendored pad2-cube2 scene
+with the `mujoco` package using the reference env-step contract
+(ctrl_set_action + mocap_set_action + 20 substeps) and the reference expert
+FSM.  Replay mechanism parity: scripts/gym_pickplace.py:765-794.
+"""
+
+import os
+
+from tests.conftest import reference_xml  # noqa: F401  (forces CPU platform)
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geeco_tpu.envs.base import ResetSpec, make_env
+
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       'fixtures', 'mujoco_pickplace_pad2cube2.npz')
+
+
+@pytest.fixture(scope='module')
+def replayed():
+  fx = np.load(FIXTURE)
+  env = make_env('pad2-cube2', frame_res=(64, 64))
+  env.setup()
+  obj_qpos = fx['init_obj_qpos'].copy()
+  obj_qpos[:, 2] -= 0.025   # reset_to re-adds the table-height adjust
+  spec = ResetSpec(obj_qpos=jnp.asarray(obj_qpos),
+                   mocap_qpos=jnp.asarray(fx['init_mocap_qpos']),
+                   task_goal=jnp.asarray(0, jnp.int32),
+                   task_object=jnp.asarray(0, jnp.int32))
+  es = env.reset_to(spec, jax.random.PRNGKey(0))
+
+  @jax.jit
+  def replay_all(es, cmds):
+    def body(es, cmd):
+      return env.step(es, cmd), None
+    return jax.lax.scan(body, es, cmds)[0]
+
+  es_f = replay_all(es, jnp.asarray(fx['cmds']))
+  return env, es_f, fx
+
+
+def test_mujoco_replay_reaches_task_success(replayed):
+  env, es_f, fx = replayed
+  m = env.eval_metrics(es_f)
+  assert np.isfinite(np.asarray(es_f.phys.qpos)).all()
+  assert float(m['task_success']) == 1.0, (
+      f"goal_dist={float(m['goal_dist']):.4f} "
+      f"(mujoco final was {float(fx['final_goal_dist']):.4f})")
+
+
+def test_mujoco_replay_goal_dist_close(replayed):
+  env, es_f, fx = replayed
+  m = env.eval_metrics(es_f)
+  # final object-goal distance within 3 cm of the mujoco rollout
+  assert abs(float(m['goal_dist']) - float(fx['final_goal_dist'])) < 0.03
