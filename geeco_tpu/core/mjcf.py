@@ -73,6 +73,13 @@ class Assets:
   mesh_ids: Dict[str, int] = field(default_factory=dict)
   materials: Dict[str, np.ndarray] = field(default_factory=dict)  # rgba
   textures: Dict[str, np.ndarray] = field(default_factory=dict)   # mean rgb
+  # full texture images [res, res, 3] float32 in [0,1] (renderer sampling)
+  texture_images: Dict[str, np.ndarray] = field(default_factory=dict)
+  # material -> (texture name, repeat_x, repeat_y)
+  material_texture: Dict[str, Tuple[str, float, float]] = \
+      field(default_factory=dict)
+  # per-geom material name ('' if none), aligned with model geom ids
+  geom_material: List[str] = field(default_factory=list)
 
 
 def load_stl(path: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -105,6 +112,17 @@ def _texture_mean_rgb(path: str) -> np.ndarray:
     return img.reshape(-1, 3).mean(axis=0)
   except Exception:
     return np.array([0.6, 0.6, 0.6], np.float32)
+
+
+def _texture_image(path: str, res: int = 64) -> Optional[np.ndarray]:
+  """Texture image downsampled to [res, res, 3] float32 in [0,1]."""
+  try:
+    from PIL import Image
+    img = Image.open(path).convert('RGB').resize((res, res),
+                                                 Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+  except Exception:
+    return None
 
 
 # ---------------------------------------------------------------- parsing
@@ -517,6 +535,7 @@ class _Builder:
     self.geom['margin'].append(float(a.get('margin', '0')))
     self.geom['meshid'].append(meshid)
     self.geom['name'].append(el.attrib.get('name', f'geom{gid}'))
+    self.assets.geom_material.append(a.get('material', ''))
     self.geom['mass'].append(float(a['mass']) if 'mass' in a else None)
     self.geom['density'].append(float(a.get('density', '1000')))
     self.body_geoms[bid].append(gid)
@@ -612,8 +631,11 @@ def load_model(xml_path: str) -> Tuple[Model, Assets]:
     for tex in asset_el.findall('texture'):
       name = tex.attrib.get('name', '')
       if 'file' in tex.attrib:
-        assets.textures[name] = _texture_mean_rgb(
-            os.path.join(texdir, tex.attrib['file']))
+        path = os.path.join(texdir, tex.attrib['file'])
+        assets.textures[name] = _texture_mean_rgb(path)
+        img = _texture_image(path)
+        if img is not None:
+          assets.texture_images[name] = img
       elif tex.attrib.get('builtin') == 'gradient':
         rgb1 = _parse_floats(tex.attrib.get('rgb1', '1 1 1'))
         rgb2 = _parse_floats(tex.attrib.get('rgb2', '0 0 0'))
@@ -627,6 +649,11 @@ def load_model(xml_path: str) -> Tuple[Model, Assets]:
       else:
         rgba = np.array([0.7, 0.7, 0.7, 1.0])
       assets.materials[name] = rgba
+      if 'texture' in mat.attrib and \
+          mat.attrib['texture'] in assets.texture_images:
+        rep = np.resize(_parse_floats(mat.attrib.get('texrepeat', '1 1')), 2)
+        assets.material_texture[name] = (mat.attrib['texture'],
+                                         float(rep[0]), float(rep[1]))
     for mesh in asset_el.findall('mesh'):
       name = mesh.attrib.get('name',
                              os.path.basename(mesh.attrib['file']).split('.')[0])

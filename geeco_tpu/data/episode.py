@@ -55,7 +55,8 @@ def make_record_fn(env: GeecoEnv, with_frames: bool = True,
 
   m = env.model
 
-  def record(env_, es: EnvState, action: jax.Array, xs) -> Dict:
+  def record(env_, es: EnvState, action: jax.Array, xs,
+             textures=None) -> Dict:
     rec = {
         'step': es.ts,
         'ts': es.phys.time,
@@ -63,7 +64,9 @@ def make_record_fn(env: GeecoEnv, with_frames: bool = True,
         'ctrl': es.phys.ctrl,
     }
     if with_frames:
-      rgb, depth = env.render(es)
+      tex = env.background_textures(textures) if textures is not None \
+          else None
+      rgb, depth = env.render(es, textures=tex)
       rec['rgb'] = rgb
       if with_depth:
         rec['depth'] = depth.astype(jnp.float32)

@@ -470,10 +470,33 @@ class GeecoEnv:
 
   # ------------------------------------------------------------- render
 
-  def render(self, es: EnvState) -> Tuple[jax.Array, jax.Array]:
-    """256x256 RGB(+depth) from external_camera_1, row 0 = top."""
+  def background_slot(self) -> Optional[int]:
+    """Texture slot of the camera-facing wall (reference randomizes
+    'wall_04': gym_pickplace.py:860-867), or None if untextured."""
+    scene = self.renderer.scene
+    for s, g in enumerate(np.asarray(scene.tex_slot_geom)):
+      if self.model.geom_name[int(g)] == 'wall_04':
+        return s
+    return None
+
+  def background_textures(self, frame: jax.Array) -> Optional[jax.Array]:
+    """Full texture-slot stack with the background wall replaced by
+    `frame` ([R, R, 3] texel grid) — per-step video randomization."""
+    scene = self.renderer.scene
+    slot = self.background_slot()
+    if slot is None:
+      return None
+    return jnp.asarray(scene.tex_default).at[slot].set(frame)
+
+  def render(self, es: EnvState, textures: Optional[jax.Array] = None
+             ) -> Tuple[jax.Array, jax.Array]:
+    """256x256 RGB(+depth) from external_camera_1, row 0 = top.
+
+    `textures` overrides the textured background surfaces (table top,
+    floor, walls) for this render — see Renderer.render.
+    """
     kin = self.kin(es)
-    return self.renderer.render(kin, es.rgba)
+    return self.renderer.render(kin, es.rgba, textures)
 
 
 def make_env(shapes: str = 'pad2-cube2', **kwargs) -> GeecoEnv:

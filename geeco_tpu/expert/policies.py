@@ -176,21 +176,26 @@ def make_expert(env: GeecoEnv):
 
 
 def rollout(env: GeecoEnv, es: EnvState, expert_step, length: int = 100,
-            record_fn=None):
+            record_fn=None, step_textures=None):
   """Scan an expert episode; returns (final EnvState, stacked records).
 
-  record_fn(env, es, action, xs) -> pytree of per-step records (called with
-  the PRE-step state, matching the reference recording order:
-  pickplace.py:326-340 records, then steps).
+  record_fn(env, es, action, xs, textures=...) -> pytree of per-step
+  records (called with the PRE-step state, matching the reference
+  recording order: pickplace.py:326-340 records, then steps).
+
+  step_textures ([length, R, R, 3] or None): per-step background texel
+  frames for video domain randomization, forwarded to record_fn.
   """
 
-  def body(carry, _):
+  def body(carry, tex):
     es, xs = carry
     action, xs2 = expert_step(es, xs)
-    rec = record_fn(env, es, action, xs2) if record_fn is not None else action
+    rec = record_fn(env, es, action, xs2, textures=tex) \
+        if record_fn is not None else action
     es2 = env.step(es, action)
     return (es2, xs2), rec
 
-  (es_f, _), recs = jax.lax.scan(body, (es, init_expert_state()), None,
-                                 length=length)
+  (es_f, _), recs = jax.lax.scan(
+      body, (es, init_expert_state()), step_textures,
+      length=length if step_textures is None else None)
   return es_f, recs

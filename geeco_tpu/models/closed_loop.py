@@ -75,9 +75,14 @@ def make_closed_loop(env: GeecoEnv, config: E2EVMCConfig,
     return action, PolicyState(frames=frames, jnt=jnt, carry=carry,
                                started=jnp.asarray(True))
 
-  def step_fn(params, es: EnvState, ps: PolicyState, tgt_frame):
-    """One closed-loop control step (single env; vmap over the batch)."""
-    rgb, depth = env.render(es)
+  def step_fn(params, es: EnvState, ps: PolicyState, tgt_frame,
+              textures=None):
+    """One closed-loop control step (single env; vmap over the batch).
+
+    `textures` ([R, R, 3] or None): per-step background texel frame for
+    video domain randomization (shared across the batch)."""
+    tex = env.background_textures(textures) if textures is not None else None
+    rgb, depth = env.render(es, textures=tex)
     obs = rgb.astype(jnp.float32) / 255.0
     if config.img_channels == 4:
       obs = jnp.concatenate([obs, depth[..., None]], axis=-1)
@@ -125,7 +130,8 @@ def synth_target_frames(env: GeecoEnv, config: E2EVMCConfig, es):
 
 def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
                      goal_conditioned: bool, rngs, tgt_frames=None,
-                     n_steps: int = 200, es0=None) -> Dict[str, jax.Array]:
+                     n_steps: int = 200, es0=None,
+                     step_textures=None) -> Dict[str, jax.Array]:
   """Reset + closed-loop rollout for a batch of envs; returns metrics.
 
   One batched policy+env step is jit-compiled and iterated from the host
@@ -144,7 +150,7 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
       tgt_frames = jnp.zeros((B, config.img_height, config.img_width,
                               config.img_channels))
 
-  batched = jax.jit(jax.vmap(step_fn, in_axes=(None, 0, 0, 0)))
+  batched = jax.jit(jax.vmap(step_fn, in_axes=(None, 0, 0, 0, None)))
   ps = jax.tree.map(lambda x: jnp.stack([x] * B), init_policy_state(config))
 
   agg = {
@@ -152,8 +158,9 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
       'min_goal_dist': jnp.full(B, 1e3), 'max_goal_dist': jnp.zeros(B),
       'final_goal_dist': jnp.zeros(B), 'task_success': jnp.zeros(B),
   }
-  for _ in range(n_steps):
-    es, ps, m = batched(params, es, ps, tgt_frames)
+  for t in range(n_steps):
+    tex = step_textures[t] if step_textures is not None else None
+    es, ps, m = batched(params, es, ps, tgt_frames, tex)
     agg['obj_vicinity'] = jnp.maximum(agg['obj_vicinity'],
                                       m['obj_vicinity'])
     agg['grasp_success'] = jnp.maximum(agg['grasp_success'],

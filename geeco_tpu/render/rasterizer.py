@@ -63,10 +63,17 @@ class Renderer(NamedTuple):
 
   # ------------------------------------------------------------------ api
 
-  def render(self, kin: Kin, geom_rgba: Optional[jax.Array] = None
+  def render(self, kin: Kin, geom_rgba: Optional[jax.Array] = None,
+             textures: Optional[jax.Array] = None
              ) -> Tuple[jax.Array, jax.Array]:
-    """Render one env. Returns (rgb uint8 [H,W,3], depth f32 [H,W])."""
-    return _render(self, kin, geom_rgba)
+    """Render one env. Returns (rgb uint8 [H,W,3], depth f32 [H,W]).
+
+    `textures` ([S, R, R, 3] f32) overrides the static texel colors of the
+    scene's textured surfaces (see RenderScene.tri_texslot) — the
+    TPU-native equivalent of the reference's TextureModder background
+    randomization (scripts/gym_pickplace.py:663-668,860-867).
+    """
+    return _render(self, kin, geom_rgba, textures)
 
 
 def build_renderer(model: Model, assets: Assets, width: int = 256,
@@ -108,7 +115,8 @@ class TriPlanes(NamedTuple):
   colp: jax.Array   # packed shaded color r*65536 + g*256 + b (f32, exact)
 
 
-def _project_and_shade(r: Renderer, kin: Kin, rgba: jax.Array) -> TriPlanes:
+def _project_and_shade(r: Renderer, kin: Kin, rgba: jax.Array,
+                       textures: Optional[jax.Array] = None) -> TriPlanes:
   model, scene = r.model, r.scene
   H, W = r.height, r.width
 
@@ -173,9 +181,24 @@ def _project_and_shade(r: Renderer, kin: Kin, rgba: jax.Array) -> TriPlanes:
     l = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), centroid.shape)
   diff = jnp.maximum(jnp.einsum('ti,ti->t', n_w, l), 0.0)
   shade = jnp.clip(0.45 + 0.6 * diff, 0.0, 1.1)
-  cr = jnp.clip(rgba[tg, 0] * shade * 255.0, 0.0, 255.0)
-  cg = jnp.clip(rgba[tg, 1] * shade * 255.0, 0.0, 255.0)
-  cb_ = jnp.clip(rgba[tg, 2] * shade * 255.0, 0.0, 255.0)
+  base_r, base_g, base_b = rgba[tg, 0], rgba[tg, 1], rgba[tg, 2]
+  if scene.tex_default.shape[0]:
+    # textured triangles read their texel from the slot's [R, R] grid;
+    # `textures` overrides the static texel colors per render call
+    # (background-video domain randomization)
+    tex = scene.tex_default if textures is None else textures
+    R2 = scene.tex_res * scene.tex_res
+    flat = jnp.asarray(tex, jnp.float32).reshape(-1, 3)
+    slot = jnp.asarray(scene.tri_texslot)
+    idx = jnp.maximum(slot, 0) * R2 + jnp.asarray(scene.tri_texel)
+    trgb = flat[idx]                                  # [T, 3]
+    textured = slot >= 0
+    base_r = jnp.where(textured, trgb[:, 0], base_r)
+    base_g = jnp.where(textured, trgb[:, 1], base_g)
+    base_b = jnp.where(textured, trgb[:, 2], base_b)
+  cr = jnp.clip(base_r * shade * 255.0, 0.0, 255.0)
+  cg = jnp.clip(base_g * shade * 255.0, 0.0, 255.0)
+  cb_ = jnp.clip(base_b * shade * 255.0, 0.0, 255.0)
   colp = (jnp.floor(cr) * 65536.0 + jnp.floor(cg) * 256.0 +
           jnp.floor(cb_))                       # exact in f32 (< 2^24)
 
@@ -209,6 +232,23 @@ def _bbox_planes(tp: TriPlanes):
   return lox, loy, hix, hiy
 
 
+def _bin_priority(tp: TriPlanes, tile: int) -> jax.Array:
+  """Per-triangle binning priority for top-K candidate selection.
+
+  Nearest-first (1/z of the nearest vertex), so on budget overflow the
+  dropped triangles are the farthest — usually occluded — ones, PLUS a
+  large constant for triangles whose screen bbox can cover a whole fine
+  tile: big background quads (walls, floor) are few per tile but leaving
+  one out punches a sky-colored hole through every pixel the small
+  near-triangles don't cover.  (Round-1 order was static geom order,
+  which silently dropped whichever geoms were declared last.)
+  """
+  izmax = jnp.maximum(jnp.maximum(tp.iz0, tp.iz1), tp.iz2)
+  lox, loy, hix, hiy = _bbox_planes(tp)
+  big = ((hix - lox) >= tile) & ((hiy - loy) >= tile)
+  return izmax + 1e4 * big.astype(jnp.float32)
+
+
 def _bin_flat(r: Renderer, tp: TriPlanes):
   """Single-level binning: top-K triangles per fine tile over all T."""
   H, W, TS = r.height, r.width, r.tile
@@ -223,8 +263,7 @@ def _bin_flat(r: Renderer, tp: TriPlanes):
   overlap = (oy[:, :, None] & ox[:, None, :] &
              tp.valid[:, None, None])           # [T, ty, tx]
   overlap = overlap.reshape(-1, n_tiles).T      # [tiles, T]
-  T = lox.shape[0]
-  prio = jnp.where(overlap, jnp.arange(T, 0, -1)[None, :], 0)
+  prio = jnp.where(overlap, _bin_priority(tp, TS)[None, :], 0.0)
   top_prio, top_idx = jax.lax.top_k(prio, K)    # [tiles, K]
   return top_idx, top_prio > 0
 
@@ -278,7 +317,7 @@ def _bin_pallas(r: Renderer, tp: TriPlanes):
   oy = (loy[:, None] < cy0 + CTS) & (hiy[:, None] >= cy0)   # [T, cty]
   overlap_c = (oy[:, :, None] & ox[:, None, :] & tp.valid[:, None, None])
   overlap_c = overlap_c.reshape(T, n_coarse).T  # [n_coarse, T]
-  prio_c = jnp.where(overlap_c, jnp.arange(T, 0, -1)[None, :], 0)
+  prio_c = jnp.where(overlap_c, _bin_priority(tp, TS)[None, :], 0.0)
   cprio, cidx = jax.lax.top_k(prio_c, K1)       # [n_coarse, K1]
 
   # ---- coarse attribute fetch (2 packed row-gathers over 8-wide tables)
@@ -488,7 +527,8 @@ def _raster_pallas_call(planes, tile: int, sky_packed: float,
 # ---------------------------------------------------------------------------
 
 
-def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array]):
+def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array],
+            textures: Optional[jax.Array] = None):
   model = r.model
   H, W, TS = r.height, r.width, r.tile
   ty, tx = H // TS, W // TS
@@ -496,7 +536,7 @@ def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array]):
   npx = TS * TS
 
   rgba = model.geom_rgba if geom_rgba is None else geom_rgba
-  tp = _project_and_shade(r, kin, rgba)
+  tp = _project_and_shade(r, kin, rgba, textures)
 
   backend = r.backend
   if backend == 'auto':

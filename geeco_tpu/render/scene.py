@@ -27,6 +27,17 @@ class RenderScene(NamedTuple):
   tri: np.ndarray        # [T, 3] vertex indices
   tri_geom: np.ndarray   # [T] geom id per triangle
   ngeom: int
+  # --- texture sampling (tessellated texel grid per textured surface) ---
+  # Textured planes / box tops are subdivided into a G x G quad grid; each
+  # sub-triangle carries a texel index into its surface's [R, R] grid so
+  # shading reads a per-triangle base color instead of the geom color.
+  # Surfaces are "slots": slot s samples tex_default[s] unless the caller
+  # overrides it at render time (background-video domain randomization).
+  tri_texslot: np.ndarray  # [T] int32 slot id, -1 = untextured
+  tri_texel: np.ndarray    # [T] int32 v*R + u into the slot's texel grid
+  tex_default: np.ndarray  # [S, R, R, 3] f32 static texel colors
+  tex_slot_geom: np.ndarray  # [S] int32 geom id per slot
+  tex_res: int             # R
 
 
 # ------------------------------------------------------------- tessellation
@@ -137,28 +148,134 @@ def decimate(vert: np.ndarray, face: np.ndarray,
 _PLANE_DEFAULT_HALF = 5.0
 # decimation budgets: articulated arm links stay crisper than decor
 _MESH_FACE_BUDGET = 400
+# texel grid per textured surface (G x G quads = 2*G^2 tris); the table top
+# spans ~180 px in the 256^2 external camera -> ~7 px texels at G=24
+_TEX_GRID = 24
+_TEX_RES = 32
+
+
+def _grid_quad(hx: float, hy: float, z: float, grid: int):
+  """G x G quad grid over [-hx,hx]x[-hy,hy] at height z.
+
+  Returns (verts [(G+1)^2, 3], faces [2G^2, 3], texel [2G^2] v*R+u) with
+  texels sampled at cell centers of an R x R texture grid (R = _TEX_RES).
+  """
+  G, R = grid, _TEX_RES
+  xs = np.linspace(-hx, hx, G + 1)
+  ys = np.linspace(-hy, hy, G + 1)
+  vx, vy = np.meshgrid(xs, ys, indexing='xy')
+  verts = np.stack([vx.ravel(), vy.ravel(), np.full(vx.size, z)], -1)
+  faces, texel = [], []
+  for j in range(G):
+    for i in range(G):
+      a = j * (G + 1) + i
+      b = a + 1
+      c = a + (G + 1)
+      d = c + 1
+      # texel at the cell center; image row 0 = +y edge (top of the image
+      # maps to +y, matching OpenGL's t-up convention after the row flip)
+      u = int((i + 0.5) / G * R)
+      v = int((1.0 - (j + 0.5) / G) * R)
+      t = min(v, R - 1) * R + min(u, R - 1)
+      faces.append([a, b, d])
+      faces.append([a, d, c])
+      texel.extend([t, t])
+  return (verts.astype(np.float32), np.asarray(faces, np.int32),
+          np.asarray(texel, np.int32))
+
+
+def _sample_texture(img: np.ndarray, repx: float, repy: float) -> np.ndarray:
+  """Tile a texture by (repx, repy) and box-resample to [R, R, 3]."""
+  R = _TEX_RES
+  th, tw, _ = img.shape
+  # sample at R x R cell centers of the tiled texture
+  u = (np.arange(R) + 0.5) / R * repx % 1.0
+  v = (np.arange(R) + 0.5) / R * repy % 1.0
+  iu = np.minimum((u * tw).astype(np.int64), tw - 1)
+  iv = np.minimum((v * th).astype(np.int64), th - 1)
+  return img[iv][:, iu].astype(np.float32)
 
 
 def build_render_scene(model: Model, assets: Assets,
                        mesh_face_budget: int = _MESH_FACE_BUDGET,
-                       skip_alpha_below: float = 0.01) -> RenderScene:
+                       skip_alpha_below: float = 0.01,
+                       tex_grid: int = _TEX_GRID) -> RenderScene:
   all_v, all_vg, all_f, all_fg = [], [], [], []
+  all_slot, all_texel = [], []
+  tex_default, tex_slot_geom = [], []
   voff = 0
   box_v, box_f = _box_mesh()
   sph_v, sph_f = _icosphere(1)
   rgba = np.asarray(model.geom_rgba)
+
+  def geom_texture(g):
+    """(texture image, repx, repy) for geom g, or None."""
+    if not tex_grid or g >= len(assets.geom_material):
+      return None
+    mt = assets.material_texture.get(assets.geom_material[g])
+    if mt is None:
+      return None
+    tex, repx, repy = mt
+    img = assets.texture_images.get(tex)
+    return None if img is None else (img, repx, repy)
+
+  def grid_for(hx, hy):
+    """Texel grid scaled to surface size: the 0.9 m table top gets the
+    full grid (~6 px texels in the external camera), multi-meter
+    background planes half of it, small trims (table legs) almost none —
+    bounding the triangle-count cost of texturing."""
+    ext = max(hx, hy)
+    if ext <= 0.15:
+      return 2
+    if ext <= 0.6:
+      return tex_grid
+    return max(2, tex_grid // 4)
+
+  def emit(v, f, g, texel=None, slot=-1):
+    nonlocal voff
+    all_v.append(v.astype(np.float32))
+    all_vg.append(np.full(v.shape[0], g, np.int32))
+    all_f.append(f.astype(np.int32) + voff)
+    all_fg.append(np.full(f.shape[0], g, np.int32))
+    all_slot.append(np.full(f.shape[0], slot, np.int32))
+    all_texel.append(np.zeros(f.shape[0], np.int32)
+                     if texel is None else texel)
+    voff += v.shape[0]
+
   for g in range(model.ngeom):
     gtype = model.geom_type[g]
     size = np.asarray(model.geom_size[g])
     if rgba[g, 3] < skip_alpha_below:
       continue  # statically invisible (e.g. debug crosshair handled per-env)
+    tex = geom_texture(g)
     if gtype == PLANE:
       hx = size[0] if size[0] > 0 else _PLANE_DEFAULT_HALF
       hy = size[1] if size[1] > 0 else _PLANE_DEFAULT_HALF
+      if tex is not None:
+        img, repx, repy = tex
+        v, f, texel = _grid_quad(hx, hy, 0.0, grid_for(hx, hy))
+        slot = len(tex_default)
+        tex_default.append(_sample_texture(img, repx, repy))
+        tex_slot_geom.append(g)
+        emit(v, f, g, texel, slot)
+        continue
       v = np.array([[-hx, -hy, 0], [hx, -hy, 0], [hx, hy, 0], [-hx, hy, 0]],
                    np.float32)
       f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
     elif gtype == BOX:
+      if tex is not None:
+        # tessellate + texture the +z face; the 5 other faces keep the
+        # coarse box mesh with the material mean color
+        img, repx, repy = tex
+        v, f, texel = _grid_quad(size[0], size[1], size[2],
+                                 grid_for(size[0], size[1]))
+        slot = len(tex_default)
+        tex_default.append(_sample_texture(img, repx, repy))
+        tex_slot_geom.append(g)
+        emit(v, f, g, texel, slot)
+        vb, fb = box_v * size[None, :], box_f[:10]  # drop the 2 +z faces
+        emit(vb, fb, g)
+        continue
       v, f = box_v * size[None, :], box_f
     elif gtype == SPHERE:
       v, f = sph_v * size[0], sph_f
@@ -171,15 +288,18 @@ def build_render_scene(model: Model, assets: Assets,
       v, f = decimate(mesh.vert, mesh.face, mesh_face_budget)
     else:
       continue
-    all_v.append(v.astype(np.float32))
-    all_vg.append(np.full(v.shape[0], g, np.int32))
-    all_f.append(f.astype(np.int32) + voff)
-    all_fg.append(np.full(f.shape[0], g, np.int32))
-    voff += v.shape[0]
+    emit(v, f, g)
+  S, R = len(tex_default), _TEX_RES
   return RenderScene(
       vert=np.concatenate(all_v),
       vert_geom=np.concatenate(all_vg),
       tri=np.concatenate(all_f),
       tri_geom=np.concatenate(all_fg),
       ngeom=model.ngeom,
+      tri_texslot=np.concatenate(all_slot),
+      tri_texel=np.concatenate(all_texel),
+      tex_default=(np.stack(tex_default) if S
+                   else np.zeros((0, R, R, 3), np.float32)),
+      tex_slot_geom=np.asarray(tex_slot_geom, np.int32),
+      tex_res=R,
   )

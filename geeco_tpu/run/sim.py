@@ -102,11 +102,22 @@ def run_collect(args):
   reset_random_batch = jax.jit(jax.vmap(env.reset_random))
   reset_to_batch = jax.jit(jax.vmap(env.reset_to))
 
+  # background-video domain randomization (reference VideoCycler +
+  # TextureModder on wall_04; gym_pickplace.py:663-668,860-867)
+  cycler = None
+  if getattr(args, 'background_video', ''):
+    from ..data.videos import VideoCycler
+    cycler = VideoCycler(args.background_video)
+    if env.background_slot() is None:
+      print('WARNING: scene has no textured wall_04; '
+            '--background_video ignored')
+      cycler = None
+
   @jax.jit
-  def run_episodes(es):  # vmapped over the env batch
+  def run_episodes(es, tex_steps=None):  # vmapped over the env batch
     return jax.vmap(
         lambda e: rollout(env, e, expert, length=episode_steps,
-                          record_fn=record_fn))(es)
+                          record_fn=record_fn, step_textures=tex_steps))(es)
 
   eval_batch = jax.jit(jax.vmap(env.eval_metrics))
 
@@ -134,7 +145,12 @@ def run_collect(args):
         Image.fromarray(np.asarray(rgb[k])).save(
             os.path.join(wrk_dir, f'init_{chunk + k + 1:04d}.png'))
       continue
-    es_f, recs = run_episodes(es)
+    if cycler is not None:
+      tex_steps = jnp.asarray(cycler.texel_steps(
+          episode_steps, env.renderer.scene.tex_res))
+      es_f, recs = run_episodes(es, tex_steps)
+    else:
+      es_f, recs = run_episodes(es)
     recs = jax.device_get(recs)
     metrics = jax.device_get(eval_batch(es_f))
 
@@ -328,6 +344,14 @@ def run_controller_batched(args):
         n_eps)
     env.setup()
     reset_to_batch = jax.jit(jax.vmap(env.reset_to))
+  cycler = None
+  if getattr(args, 'background_video', ''):
+    from ..data.videos import VideoCycler
+    cycler = VideoCycler(args.background_video)
+    if env.background_slot() is None:
+      print('WARNING: scene has no textured wall_04; '
+            '--background_video ignored')
+      cycler = None
   rng = jax.random.PRNGKey(args.seed)
   rows = []
   for chunk in range(0, n_eps, B):
@@ -336,6 +360,9 @@ def run_controller_batched(args):
     rngs = jax.random.split(sub, B)
     episode_steps = (args.max_episode_steps if args.max_episode_steps > 0
                      else EPISODE_STEPS_CONTROL)
+    step_textures = (jnp.asarray(cycler.texel_steps(
+        episode_steps, env.renderer.scene.tex_res))
+        if cycler is not None else None)
     if specs is not None:
       idx = np.minimum(np.arange(chunk, chunk + B), n_eps - 1)
       spec_chunk = jax.tree.map(lambda x: x[jnp.asarray(idx)], specs)
@@ -354,10 +381,11 @@ def run_controller_batched(args):
         tgt = jnp.concatenate([tgt, d], axis=-1)
       agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
                              tgt_frames=tgt, n_steps=episode_steps,
-                             es0=es0)
+                             es0=es0, step_textures=step_textures)
     else:
       agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
-                             n_steps=episode_steps)
+                             n_steps=episode_steps,
+                             step_textures=step_textures)
     agg = {k: np.asarray(v) for k, v in agg.items()}
     for k in range(n):
       rows.append({
