@@ -80,11 +80,13 @@ def build_renderer(model: Model, assets: Assets, width: int = 256,
                    height: int = 256, camera: str = 'external_camera_1',
                    tile: int = 16, tris_per_tile: int = 96, chunk: int = 8,
                    znear: float = 0.05, zfar: float = 10.0,
-                   mesh_face_budget: int = 400,
+                   mesh_face_budget: int = 400, tex_grid: int = None,
                    depth_gl: bool = False, cull: int = -1,
                    coarse: int = 4, coarse_k: int = 512, mid_k: int = 192,
                    backend: str = 'auto') -> Renderer:
-  scene = build_render_scene(model, assets, mesh_face_budget=mesh_face_budget)
+  scene_kwargs = {} if tex_grid is None else {'tex_grid': tex_grid}
+  scene = build_render_scene(model, assets, mesh_face_budget=mesh_face_budget,
+                             **scene_kwargs)
   # sky color: mean of the builtin gradient skybox texture
   # (assets/gym/defaults/geeco-gym.xml:3)
   sky = (0.45, 0.86, 0.57)

@@ -36,6 +36,10 @@ ARGPARSER.add_argument('--checkpoint_name', type=str, default=None)
 ARGPARSER.add_argument('--dataset_dir', type=str, default='')
 ARGPARSER.add_argument('--tfrecord_list', type=str, default='')
 ARGPARSER.add_argument('--background_video', type=str, default='')
+ARGPARSER.add_argument('--tex_grid', type=int, default=-1,
+                       help='texel grid for textured surfaces; 0 disables '
+                            'texture tessellation (flat colors), -1 = '
+                            'renderer default')
 ARGPARSER.add_argument('--rendering_mode', type=str, default='tfrecord',
                        help='video | tfrecord')
 ARGPARSER.add_argument('--frame_res', type=int, nargs=2, default=[256, 256])

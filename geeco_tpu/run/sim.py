@@ -42,7 +42,12 @@ EVAL_FIELDS = ('episode_id', 'obj_vicinity', 'grasp_success',
 
 
 def build_env(args) -> GeecoEnv:
-  return GeecoEnv(shapes=args.shapes, frame_res=tuple(args.frame_res))
+  rk = {}
+  tg = getattr(args, 'tex_grid', -1)
+  if tg is not None and tg >= 0:
+    rk['tex_grid'] = tg
+  return GeecoEnv(shapes=args.shapes, frame_res=tuple(args.frame_res),
+                  renderer_kwargs=rk)
 
 
 def _episode_context(env: GeecoEnv, es) -> dict:
