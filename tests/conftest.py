@@ -23,6 +23,13 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Persistent XLA compilation cache: the big env/model graphs take minutes to
+# compile on this 1-core box; re-runs of the suite hit the cache instead.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(REPO_ROOT, '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 if REPO_ROOT not in sys.path:
   sys.path.insert(0, REPO_ROOT)
 

@@ -10,7 +10,11 @@ from geeco_tpu.envs.base import GeecoEnv, ResetSpec
 
 @pytest.fixture(scope='module')
 def env():
-  return GeecoEnv(shapes='pad2-cube2', settle_steps=2)
+  # CI-sized config: reduced settle/solver iterations + 128px frames; the
+  # substep count stays at the reference 20 (it is a lax.scan — free at
+  # compile time — and the EE weld needs the full 40 ms to track).
+  return GeecoEnv(shapes='pad2-cube2', settle_steps=1,
+                  solver_iterations=24, frame_res=(128, 128))
 
 
 @pytest.fixture(scope='module')
@@ -92,7 +96,7 @@ def test_reset_to_spec(env):
 @pytest.mark.slow
 def test_render_env(env, es0):
   rgb, depth = env.jit('render')(es0)
-  assert rgb.shape == (256, 256, 3)
+  assert rgb.shape == (128, 128, 3)
   rgb = np.asarray(rgb)
   # red object0 visible after recolor
   red = (rgb[:, :, 0] > 150) & (rgb[:, :, 1] < 90) & (rgb[:, :, 2] < 90)
