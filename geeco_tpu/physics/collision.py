@@ -13,10 +13,12 @@ Contact conventions:
 
 Supported type pairs cover every geom combination in the GEECO scenes
 (boxes/planes everywhere; spheres/capsules/ellipsoids in the clutter scenes,
-reference: assets/gym/envs/geeco-pad2-cube2-clutter12.xml:71-140; mesh task
-objects collide via their AABB box proxy, see core/mjcf.py).
-Ellipsoids use their minimum radius as a bounding sphere against everything
-but planes (exact support there); cylinders are treated as capsules.
+reference: assets/gym/envs/geeco-pad2-cube2-clutter12.xml:71-140).  Mesh
+task objects collide via their padded convex hulls built at compile time
+(core/mjcf.py build_hull; plane/sphere/capsule/box/hull-vs-hull SAT kernels
+below).  Ellipsoids use their minimum radius as a bounding sphere against
+everything but planes (exact support there); cylinders are treated as
+capsules.
 """
 
 from __future__ import annotations

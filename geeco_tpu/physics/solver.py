@@ -15,9 +15,13 @@ Row layout (static per model):
 
 condim semantics: condim 3 pairs mask the torsional row; condim >= 4 uses
 friction[1] as torsional coefficient (gripper fingers are condim 4,
-reference: assets/gym/robots/fetch-gym.xml:89).  Rolling rows (condim 6) are
-not emitted in round 1 — rolling coefficients in the scenes are the 1e-4
-default with negligible dynamic effect.
+reference: assets/gym/robots/fetch-gym.xml:89).  Rolling rows (condim 6,
+friction[2] coefficient) are supported and auto-gated: they are emitted
+when any condim-6 pair has a rolling coefficient above 1e-3 (the GEECO
+scenes keep MuJoCo's 1e-4 default, where the clamped rolling force is
+dynamically negligible but would cost 50% more solver rows — skipping the
+rows there is a measured-equivalence optimization, not a capability gap;
+see tests/test_physics_contact.py::test_rolling_friction_stops_ball).
 """
 
 from __future__ import annotations
@@ -54,6 +58,7 @@ class ConstraintStatic(NamedTuple):
   lim_solimp: np.ndarray    # [nlim, 3]
   invweight: np.ndarray     # [ne] reference-pose inverse weight per row
   ncon_sel: int             # active-set size (top-K contacts solved)
+  ngrp: int                 # contact row groups: 4, or 6 with rolling rows
 
 
 def _body_invweights(model: Model, anc_mask: np.ndarray) -> np.ndarray:
@@ -93,10 +98,17 @@ def _dof_invweights(model: Model, anc_mask: np.ndarray) -> np.ndarray:
 
 
 def constraint_static(model: Model, anc_mask: np.ndarray,
-                      select_k: int = 128) -> ConstraintStatic:
+                      select_k: int = 128,
+                      rolling: str | bool = 'auto') -> ConstraintStatic:
   b1, b2, fric, solref, solimp, condim = C.contact_params(model)
   ncon = len(b1)
   ncon_sel = min(ncon, select_k) if select_k else ncon
+  if rolling == 'auto':
+    # emit rolling rows only where they are dynamically meaningful (see
+    # module docstring); MuJoCo's default coefficient is 1e-4
+    rolling = bool(ncon) and bool(
+        np.any((condim >= 6) & (fric[:, 2] > 1e-3)))
+  ngrp = 6 if rolling else 4
   lim_dof, lim_qadr, lim_range, lim_solref, lim_solimp = [], [], [], [], []
   for j in range(model.njnt):
     if model.jnt_limited[j]:
@@ -106,7 +118,7 @@ def constraint_static(model: Model, anc_mask: np.ndarray,
       lim_solref.append(np.asarray(model.jnt_solref[j]))
       lim_solimp.append(np.asarray(model.jnt_solimp[j]))
   nlim = len(lim_dof)
-  ne = ncon * 4 + nlim * 2 + model.neq * 6
+  ne = ncon * ngrp + nlim * 2 + model.neq * 6
 
   binvw = _body_invweights(model, anc_mask)
   dinvw = _dof_invweights(model, anc_mask)
@@ -119,8 +131,10 @@ def constraint_static(model: Model, anc_mask: np.ndarray,
     w2 = binvw[model.eq_body2[e]]
     eq_w.extend([w1[0] + w2[0]] * 3)
     eq_w.extend([w1[1] + w2[1]] * 3)
-  invweight = np.concatenate([
-      con_w_t, con_w_t, con_w_t, con_w_r,      # n, t1, t2, torsion
+  con_w = [con_w_t, con_w_t, con_w_t, con_w_r]  # n, t1, t2, torsion
+  if ngrp == 6:
+    con_w += [con_w_r, con_w_r]                 # roll1, roll2
+  invweight = np.concatenate(con_w + [
       np.repeat(lim_w, 1), np.repeat(lim_w, 1),
       np.asarray(eq_w, np.float32),
   ]).astype(np.float32) if ne else np.zeros(0, np.float32)
@@ -137,6 +151,7 @@ def constraint_static(model: Model, anc_mask: np.ndarray,
       lim_solimp=np.asarray(lim_solimp, np.float32).reshape(nlim, 3),
       invweight=invweight,
       ncon_sel=ncon_sel,
+      ngrp=ngrp,
   )
 
 
@@ -148,6 +163,7 @@ class Constraints(NamedTuple):
   invweight: jax.Array  # [ne_sel] reference-pose inverse weight per row
   mu_t: jax.Array    # [K] tangential friction per selected contact
   mu_tor: jax.Array  # [K] torsional friction per selected contact
+  mu_roll: jax.Array  # [K] rolling friction (used when ngrp == 6)
   sel_idx: jax.Array  # [K] selected contact indices into the full set
 
 
@@ -186,6 +202,7 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
   J_rows, aref_rows, d_rows, active_rows, invw_rows = [], [], [], [], []
   mu_t = jnp.zeros(0)
   mu_tor = jnp.zeros(0)
+  mu_roll = jnp.zeros(0)
   sel_idx = jnp.zeros(0, jnp.int32)
 
   # ---------------- contacts (top-K active selection) ----------------
@@ -204,10 +221,12 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
     solimp = jnp.asarray(cs.con_solimp)[sel_idx]
     solref = jnp.asarray(cs.con_solref)[sel_idx]
     tor_on = jnp.asarray((cs.con_condim >= 4).astype(np.float32))[sel_idx]
+    roll_on = jnp.asarray((cs.con_condim >= 6).astype(np.float32))[sel_idx]
     inv_t = jnp.asarray(cs.invweight[:cs.ncon])[sel_idx]
     inv_r = jnp.asarray(cs.invweight[3 * cs.ncon:4 * cs.ncon])[sel_idx]
     mu_t = friction[:, 0]
     mu_tor = friction[:, 1]
+    mu_roll = friction[:, 2]
 
     anc = jnp.asarray(anc_mask)
     mask1 = anc[body1]  # [K, nv]
@@ -236,8 +255,14 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
     aref_tor = -b * (J_tor @ qvel)
 
     act = dist < 0.0
-    for Jr, ar, iw in ((J_n, aref_n, inv_t), (J_t1, aref_t1, inv_t),
-                       (J_t2, aref_t2, inv_t), (J_tor, aref_tor, inv_r)):
+    groups = [(J_n, aref_n, inv_t), (J_t1, aref_t1, inv_t),
+              (J_t2, aref_t2, inv_t), (J_tor, aref_tor, inv_r)]
+    if cs.ngrp == 6:  # rolling rows around the two tangents (condim 6)
+      J_r1 = jnp.einsum('cvi,ci->cv', Jr_rel, t1) * roll_on[:, None]
+      J_r2 = jnp.einsum('cvi,ci->cv', Jr_rel, t2) * roll_on[:, None]
+      groups += [(J_r1, -b * (J_r1 @ qvel), inv_r),
+                 (J_r2, -b * (J_r2 @ qvel), inv_r)]
+    for Jr, ar, iw in groups:
       J_rows.append(Jr)
       aref_rows.append(ar)
       d_rows.append(d_con)
@@ -253,7 +278,8 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
     e = e.at[jnp.arange(cs.nlim), jnp.asarray(cs.lim_dof)].set(1.0)
     solimp = jnp.asarray(cs.lim_solimp)
     solref = jnp.asarray(cs.lim_solref)
-    lim_invw = jnp.asarray(cs.invweight[4 * cs.ncon:4 * cs.ncon + cs.nlim])
+    lim_invw = jnp.asarray(
+        cs.invweight[cs.ngrp * cs.ncon:cs.ngrp * cs.ncon + cs.nlim])
     for pos, Jr in (((qp - lo), e), ((hi - qp), -e)):
       d_l = impedance(solimp, jnp.minimum(pos, 0.0))
       k, b = _kb(solref, d_l, solimp[:, 1])
@@ -297,14 +323,14 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
     d_rows.append(d_e6)
     active_rows.append(jnp.ones(6, bool))
     invw_rows.append(jnp.asarray(
-        cs.invweight[4 * cs.ncon + 2 * cs.nlim + 6 * e_i:
-                     4 * cs.ncon + 2 * cs.nlim + 6 * (e_i + 1)]))
+        cs.invweight[cs.ngrp * cs.ncon + 2 * cs.nlim + 6 * e_i:
+                     cs.ngrp * cs.ncon + 2 * cs.nlim + 6 * (e_i + 1)]))
 
   if not J_rows:
     z = jnp.zeros(0)
     return Constraints(J=jnp.zeros((0, nv)), aref=z, d_imp=z,
                        active=jnp.zeros(0, bool), invweight=z, mu_t=z,
-                       mu_tor=z, sel_idx=jnp.zeros(0, jnp.int32))
+                       mu_tor=z, mu_roll=z, sel_idx=jnp.zeros(0, jnp.int32))
 
   return Constraints(
       J=jnp.concatenate([j.reshape(-1, nv) for j in J_rows]),
@@ -312,11 +338,11 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
       d_imp=jnp.concatenate([d.reshape(-1) for d in d_rows]),
       active=jnp.concatenate([a.reshape(-1) for a in active_rows]),
       invweight=jnp.concatenate([w.reshape(-1) for w in invw_rows]),
-      mu_t=mu_t, mu_tor=mu_tor, sel_idx=sel_idx,
+      mu_t=mu_t, mu_tor=mu_tor, mu_roll=mu_roll, sel_idx=sel_idx,
   )
 
 
-def _row_order(ncon: int, nlim: int, neq: int) -> dict:
+def _row_order(ncon: int, nlim: int, neq: int, ngrp: int = 4) -> dict:
   """Index ranges of each row family in a concatenated layout."""
   off = 0
   out = {}
@@ -324,6 +350,8 @@ def _row_order(ncon: int, nlim: int, neq: int) -> dict:
   out['con_t1'] = (off, off + ncon); off += ncon
   out['con_t2'] = (off, off + ncon); off += ncon
   out['con_tor'] = (off, off + ncon); off += ncon
+  if ngrp == 6:
+    out['con_roll'] = (off, off + 2 * ncon); off += 2 * ncon
   out['lim'] = (off, off + 2 * nlim); off += 2 * nlim
   out['eq'] = (off, off + 6 * neq); off += 6 * neq
   return out
@@ -334,9 +362,9 @@ def gather_warmstart(cs: ConstraintStatic, con: Constraints,
   """Map a full-layout warmstart vector onto the selected-row layout."""
   K = cs.ncon_sel
   parts = []
-  for g in range(4):  # contact groups
+  for g in range(cs.ngrp):  # contact groups
     parts.append(warm_full[g * cs.ncon + con.sel_idx])
-  parts.append(warm_full[4 * cs.ncon:])  # limits + welds
+  parts.append(warm_full[cs.ngrp * cs.ncon:])  # limits + welds
   return jnp.concatenate(parts) if parts else warm_full
 
 
@@ -345,10 +373,10 @@ def scatter_forces(cs: ConstraintStatic, con: Constraints,
   """Selected-row forces -> full-layout vector (for warmstart carry)."""
   K = cs.ncon_sel
   f_full = jnp.zeros(cs.ne)
-  for g in range(4):
+  for g in range(cs.ngrp):
     f_full = f_full.at[g * cs.ncon + con.sel_idx].set(
         f_sel[g * K:(g + 1) * K])
-  f_full = f_full.at[4 * cs.ncon:].set(f_sel[4 * K:])
+  f_full = f_full.at[cs.ngrp * cs.ncon:].set(f_sel[cs.ngrp * K:])
   return f_full
 
 
@@ -376,7 +404,7 @@ def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
   b = con.J @ smooth.qacc_smooth - con.aref
 
   K = cs.ncon_sel
-  order = _row_order(K, cs.nlim, cs.neq)
+  order = _row_order(K, cs.nlim, cs.neq, cs.ngrp)
   lo_lim, hi_lim = order['lim']
   eq_lo, eq_hi = order['eq']
   nI = eq_lo                                       # inequality row count
@@ -395,7 +423,13 @@ def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
       ft1 = ft1 * scale * con_active
       ft2 = ft2 * scale * con_active
       ftor = jnp.clip(ftor, -con.mu_tor * fn, con.mu_tor * fn) * con_active
-      f = f.at[0:4 * K].set(jnp.concatenate([fn, ft1, ft2, ftor]))
+      cols = [fn, ft1, ft2, ftor]
+      if cs.ngrp == 6:
+        lim_r = con.mu_roll * fn
+        for g in (4, 5):
+          fr = jnp.clip(f[g * K:(g + 1) * K], -lim_r, lim_r) * con_active
+          cols.append(fr)
+      f = f.at[0:cs.ngrp * K].set(jnp.concatenate(cols))
     if hi_lim > lo_lim:
       f = f.at[lo_lim:hi_lim].set(
           jnp.maximum(f[lo_lim:hi_lim], 0.0) * lim_active)

@@ -63,7 +63,9 @@ class Stepper(NamedTuple):
     return state.replace(efc_force=jnp.zeros((self.ne,), jnp.float32))
 
 
-def build_stepper(model: Model, contact_select_k: int = 128) -> Stepper:
+def build_stepper(model: Model, contact_select_k: int = 128,
+                  rolling: str | bool = 'auto') -> Stepper:
   anc_mask = K.ancestor_mask(model)
-  cs = S.constraint_static(model, anc_mask, select_k=contact_select_k)
+  cs = S.constraint_static(model, anc_mask, select_k=contact_select_k,
+                           rolling=rolling)
   return Stepper(model=model, anc_mask=anc_mask, cs=cs, ne=cs.ne)

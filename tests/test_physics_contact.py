@@ -243,3 +243,43 @@ def test_pad2_cube2_step_stable():
   gl = model.body('robot0:gripper_link')
   xaxis = np.asarray(kin.ximat[gl][:, 0])
   assert xaxis[2] < -0.9, f'gripper not pointing down: x-axis={xaxis}'
+
+
+SPHERE_ON_PLANE = """
+<mujoco>
+  <option timestep="0.002" density="0"/>
+  <worldbody>
+    <geom name="floor" type="plane" pos="0 0 0" size="5 5 1" condim="6"
+          friction="1.0 0.005 {mu_roll}"/>
+    <body name="ball" pos="0 0 0.05">
+      <joint name="ball:joint" type="free"/>
+      <geom type="sphere" size="0.05" condim="6" mass="1"
+            friction="1.0 0.005 {mu_roll}"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_rolling_friction_stops_ball(tmp_path):
+  """condim-6 rolling rows: a ball with high rolling friction decelerates;
+  with MuJoCo's negligible default the rows are auto-skipped and the ball
+  keeps rolling (solver.py docstring gating policy)."""
+  from geeco_tpu.physics import solver as S
+
+  def final_speed(mu_roll, rolling):
+    model, _ = _load(tmp_path, SPHERE_ON_PLANE.format(mu_roll=mu_roll))
+    st = build_stepper(model, rolling=rolling)
+    state = st.init_state(make_state(model))
+    # rolling without slipping: v = omega x r
+    state = state.replace(
+        qvel=state.qvel.at[0].set(0.5).at[4].set(0.5 / 0.05))
+    state = _rollout(state=state, stepper=st, n=40, substeps=20)  # 1.6 s
+    return float(np.linalg.norm(np.asarray(state.qvel[:2]))), st
+
+  v_roll, st_roll = final_speed(0.2, rolling='auto')
+  assert st_roll.cs.ngrp == 6  # auto-gate engages for large coefficients
+  v_free, st_free = final_speed(1e-4, rolling='auto')
+  assert st_free.cs.ngrp == 4  # negligible default -> no rolling rows
+  assert v_roll < 0.05, f'rolling friction did not stop the ball: {v_roll}'
+  assert v_free > 0.3, f'ball should keep rolling: {v_free}'
