@@ -50,11 +50,12 @@ def extract_targets(dataset_dir: str, keyframes: bool = True) -> int:
     rgb = ep['rgb']
     if rgb.dtype != np.uint8:
       rgb = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
-    depth = ep['depth']
+    depth = ep.get('depth')  # absent in the fast npz collect format
     _save_rgb(os.path.join(dataset_dir, 'images', 'targets', 'rgb',
                            f'{name}.png'), rgb[-1])
-    _save_depth(os.path.join(dataset_dir, 'images', 'targets', 'depth',
-                             f'{name}.npy'), depth[-1])
+    if depth is not None:
+      _save_depth(os.path.join(dataset_dir, 'images', 'targets', 'depth',
+                               f'{name}.npy'), depth[-1])
     n += 1
     if keyframes:
       rid = re.search(r'\d+', name)
@@ -67,9 +68,10 @@ def extract_targets(dataset_dir: str, keyframes: bool = True) -> int:
         for k, t in enumerate(frames):
           _save_rgb(os.path.join(dataset_dir, 'images', 'keyframes', 'rgb',
                                  f'{name}_kf{k:02d}.png'), rgb[t])
-          _save_depth(os.path.join(dataset_dir, 'images', 'keyframes',
-                                   'depth', f'{name}_kf{k:02d}.npy'),
-                      depth[t])
+          if depth is not None:
+            _save_depth(os.path.join(dataset_dir, 'images', 'keyframes',
+                                     'depth', f'{name}_kf{k:02d}.npy'),
+                        depth[t])
   return n
 
 
