@@ -398,6 +398,43 @@ def _mat_to_quat_np(m):
   return q / np.linalg.norm(q)
 
 
+# Distal Fetch links that can reach the task workspace and therefore get
+# collision capsule proxies (fetch-gym.xml link geom names).
+_ARM_PROXY_LINKS = ('shoulder_lift', 'upperarm_roll', 'elbow_flex',
+                    'forearm_roll', 'wrist_flex', 'wrist_roll',
+                    'gripper_link')
+
+
+def _fit_capsule_np(verts: np.ndarray):
+  """Bounding capsule of a vertex cloud along its principal axis.
+
+  Returns (pos, quat, radius, half_len) in the vertex frame: the segment
+  lies on the principal component through the extent midpoint; the radius
+  is the exact covering distance to that segment (conservative bound —
+  every vertex is inside the capsule, slightly loose at the caps).
+  """
+  c = verts.mean(axis=0)
+  cov = np.cov((verts - c).T)
+  w, v = np.linalg.eigh(cov)
+  u = v[:, -1]
+  t = (verts - c) @ u
+  t0, t1 = float(t.min()), float(t.max())
+  mid = c + u * (0.5 * (t0 + t1))
+  radial = (verts - mid) - np.outer((verts - mid) @ u, u)
+  r0 = float(np.linalg.norm(radial, axis=1).max())
+  hl = max(0.5 * (t1 - t0) - r0, 0.0)
+  a, b = mid - hl * u, mid + hl * u
+  ab = b - a
+  tt = np.clip(((verts - a) @ ab) / max(float(ab @ ab), 1e-12), 0.0, 1.0)
+  r = float(np.linalg.norm(verts - (a + tt[:, None] * ab), axis=1).max())
+  e = np.eye(3)[int(np.argmin(np.abs(u)))]
+  x = np.cross(e, u)
+  x /= np.linalg.norm(x)
+  y = np.cross(u, x)
+  quat = _mat_to_quat_np(np.column_stack([x, y, u]))
+  return mid, quat, r, hl
+
+
 # ---------------------------------------------------------------- compiler
 
 
@@ -599,8 +636,14 @@ def _elem_quat_from_attrs(a: Dict[str, str]) -> np.ndarray:
   return _elem_quat(el)
 
 
-def load_model(xml_path: str) -> Tuple[Model, Assets]:
-  """Compile an MJCF file into (Model, Assets)."""
+def load_model(xml_path: str,
+               arm_proxies: bool = True) -> Tuple[Model, Assets]:
+  """Compile an MJCF file into (Model, Assets).
+
+  arm_proxies: emit invisible bounding-capsule collision proxies for
+    articulated robot-link meshes (MuJoCo collides those meshes directly;
+    see the proxy block below).
+  """
   root = _merge_mujoco_sections(_resolve_includes(xml_path))
   base = os.path.dirname(os.path.abspath(xml_path))
 
@@ -805,6 +848,56 @@ def load_model(xml_path: str) -> Tuple[Model, Assets]:
   weld_parentid = [body_weldid[builder.body_parentid[body_weldid[b]]]
                    for b in range(nbody)]
 
+  # --- arm-link collision capsule proxies
+  # Articulated mesh geoms (Fetch torso/arm links) skip hull narrowphase in
+  # the hot path (`collidable` below), but MuJoCo collides them: the robot
+  # geoms in assets_gym/robots/fetch-gym.xml carry the default
+  # contype/conaffinity of 1 (reference src/geeco_gym scene stack).  Parity
+  # is preserved with an auto-fitted bounding capsule per distal arm link:
+  # an invisible (alpha 0 — the renderer skips it) capsule geom on the same
+  # body that inherits the link's contact parameters, so the arm presses on
+  # the table and objects instead of ghosting through them.  Proximal
+  # structure (base/torso/head/estop/laser) is left contact-free: those
+  # links never enter the task workspace, and their loose capsule bounds
+  # would fabricate rest contacts (e.g. the base hull's bounding sphere
+  # penetrates the floor the real mesh merely touches).
+  proxy_gids = set()
+  if arm_proxies:
+    for g in range(ngeom):
+      if builder.geom['type'][g] != MESH:
+        continue
+      if builder.geom['contype'][g] == 0 and \
+         builder.geom['conaffinity'][g] == 0:
+        continue
+      if not any(s in builder.geom['name'][g] for s in _ARM_PROXY_LINKS):
+        continue
+      bid = builder.geom['bodyid'][g]
+      wid = body_weldid[bid]
+      if wid == 0:
+        continue  # welded to world: can never move into contact
+      if builder.jnt['type'][builder.body_jnts[wid][0]] == FREE:
+        continue  # free-floating task object: collides via its convex hull
+      mesh = assets.meshes[builder.geom['meshid'][g]]
+      cpos, cquat, rad, hl = _fit_capsule_np(mesh.vert - mesh.center)
+      gr = _quat_to_mat_np(builder.geom['quat'][g])
+      builder.geom['type'].append(CAPSULE)
+      builder.geom['bodyid'].append(bid)
+      builder.geom['pos'].append(builder.geom['pos'][g] + gr @ cpos)
+      builder.geom['quat'].append(_mat_to_quat_np(gr @ _quat_to_mat_np(cquat)))
+      builder.geom['size'].append(np.array([rad, hl, 0.0]))
+      builder.geom['rgba'].append(np.zeros(4))
+      for k in ('contype', 'conaffinity', 'condim', 'friction', 'solref',
+                'solimp', 'margin'):
+        builder.geom[k].append(builder.geom[k][g])
+      builder.geom['meshid'].append(-1)
+      builder.geom['name'].append(builder.geom['name'][g] + '__colcap')
+      builder.geom['mass'].append(0.0)
+      builder.geom['density'].append(0.0)
+      assets.geom_material.append('')
+      builder.body_geoms[bid].append(len(builder.geom['type']) - 1)
+      proxy_gids.add(len(builder.geom['type']) - 1)
+    ngeom = len(builder.geom['type'])
+
   # --- collision pair enumeration (static broadphase)
   def collidable(g):
     if builder.geom['contype'][g] == 0 and builder.geom['conaffinity'][g] == 0:
@@ -825,6 +918,17 @@ def load_model(xml_path: str) -> Tuple[Model, Assets]:
       b1, b2 = builder.geom['bodyid'][g1], builder.geom['bodyid'][g2]
       w1, w2 = body_weldid[b1], body_weldid[b2]
       if w1 == w2:
+        continue
+      # proxy capsules are loose bounds: they collide with the world and
+      # free objects only, never within the robot chain (the bounds overlap
+      # at rest where the real link meshes do not, so robot self-pairs
+      # would inject spurious forces)
+      def _articulated(b):
+        wid = body_weldid[b]
+        return wid != 0 and \
+            builder.jnt['type'][builder.body_jnts[wid][0]] != FREE
+      if (g1 in proxy_gids and _articulated(b2)) or \
+         (g2 in proxy_gids and _articulated(b1)):
         continue
       if (min(b1, b2), max(b1, b2)) in excludes:
         continue
