@@ -299,6 +299,7 @@ def _geom_mass_inertia(gtype: int, size: np.ndarray, mass: Optional[float],
 
 HULL_VMAX = 24   # padded vertex budget per hull
 HULL_FMAX = 44   # padded face budget (<= 2*VMAX-4 for VMAX=24)
+HULL_EMAX = 12   # padded unique-edge-direction budget (SAT cross axes)
 
 
 def build_hull(verts: np.ndarray, vmax: int = HULL_VMAX,
@@ -370,6 +371,59 @@ def build_hull(verts: np.ndarray, vmax: int = HULL_VMAX,
   if out is None:
     raise ValueError('hull decimation failed to fit budgets')
   return out
+
+
+def hull_edge_dirs(vert: np.ndarray, vmask: np.ndarray,
+                   emax: int = HULL_EMAX):
+  """Unique edge directions of a padded hull, for SAT cross axes.
+
+  Edge directions are deduplicated up to sign within ~3 degrees and ranked
+  by multiplicity, so the budget keeps the structurally dominant directions
+  (prism axes, ring edges) when the hull has more than emax.  Triangulation
+  diagonals of coplanar facets may appear among the edges; as SAT axes they
+  are merely redundant, never wrong (any axis separating two convex sets
+  proves disjointness).  Returns (edge [emax, 3] unit rows, emask [emax]).
+  """
+  from scipy.spatial import ConvexHull
+  pts = np.asarray(vert, np.float64)[np.asarray(vmask) > 0.5]
+  edge = np.zeros((emax, 3), np.float32)
+  emask_out = np.zeros(emax, np.float32)
+  if pts.shape[0] < 4:
+    return edge, emask_out
+  try:
+    hull = ConvexHull(pts)
+  except Exception:
+    return edge, emask_out
+  pairs = set()
+  for simplex in hull.simplices:
+    for i in range(3):
+      a, b = int(simplex[i]), int(simplex[(i + 1) % 3])
+      pairs.add((min(a, b), max(a, b)))
+  dirs = []
+  for a, b in pairs:
+    d = pts[b] - pts[a]
+    n = np.linalg.norm(d)
+    if n < 1e-9:
+      continue
+    d = d / n
+    nz = np.nonzero(np.abs(d) > 1e-6)[0]
+    if nz.size and d[nz[0]] < 0:
+      d = -d
+    dirs.append(d)
+  clusters: list = []  # [direction, edge count]
+  cos_tol = np.cos(np.radians(3.0))
+  for d in dirs:
+    for c in clusters:
+      if abs(float(d @ c[0])) >= cos_tol:
+        c[1] += 1
+        break
+    else:
+      clusters.append([d, 1])
+  clusters.sort(key=lambda c: -c[1])
+  keep = np.stack([c[0] for c in clusters[:emax]])
+  edge[:keep.shape[0]] = keep
+  emask_out[:keep.shape[0]] = 1.0
+  return edge, emask_out
 
 
 def _quat_to_mat_np(q):
@@ -961,12 +1015,16 @@ def load_model(xml_path: str,
 
   # --- convex hulls (one per mesh asset; geom_hullid == geom meshid)
   hull_vert, hull_vmask, hull_face, hull_fmask = [], [], [], []
+  hull_edge, hull_emask = [], []
   for mesh in builder.assets.meshes:
     hv, hvm, hf, hfm = build_hull(mesh.vert)
+    he, hem = hull_edge_dirs(hv, hvm)
     hull_vert.append(hv)
     hull_vmask.append(hvm)
     hull_face.append(hf)
     hull_fmask.append(hfm)
+    hull_edge.append(he)
+    hull_emask.append(hem)
 
   f32 = lambda x: jnp.asarray(np.asarray(x, np.float64), jnp.float32)
 
@@ -1077,6 +1135,10 @@ def load_model(xml_path: str,
                     else np.zeros((0, HULL_FMAX, 4))),
       hull_fmask=f32(np.stack(hull_fmask) if hull_vert
                      else np.zeros((0, HULL_FMAX))),
+      hull_edge=f32(np.stack(hull_edge) if hull_vert
+                    else np.zeros((0, HULL_EMAX, 3))),
+      hull_emask=f32(np.stack(hull_emask) if hull_vert
+                     else np.zeros((0, HULL_EMAX))),
       qpos0=f32(qpos0),
   )
   return model, assets

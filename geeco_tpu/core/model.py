@@ -155,6 +155,8 @@ class Model:
   hull_vmask: jax.Array      # [nhull, HV] 1.0 = valid vertex
   hull_face: jax.Array       # [nhull, HF, 4] (nx, ny, nz, off)
   hull_fmask: jax.Array      # [nhull, HF] 1.0 = valid face
+  hull_edge: jax.Array       # [nhull, HE, 3] unique edge directions (unit)
+  hull_emask: jax.Array      # [nhull, HE] 1.0 = valid edge direction
 
   # --- default qpos (reference configuration) ---
   qpos0: jax.Array           # [nq]

@@ -15,10 +15,12 @@ Supported type pairs cover every geom combination in the GEECO scenes
 (boxes/planes everywhere; spheres/capsules/ellipsoids in the clutter scenes,
 reference: assets/gym/envs/geeco-pad2-cube2-clutter12.xml:71-140).  Mesh
 task objects collide via their padded convex hulls built at compile time
-(core/mjcf.py build_hull; plane/sphere/capsule/box/hull-vs-hull SAT kernels
-below).  Ellipsoids use their minimum radius as a bounding sphere against
-everything but planes (exact support there); cylinders are treated as
-capsules.
+(core/mjcf.py build_hull; plane/sphere/capsule/box/hull-vs-hull kernels
+below, with face + edge-edge SAT axes for box/hull pairs).  Ellipsoids use
+a min-radius bounding sphere refined to the exact support radius along the
+contact normal (`_ellipsoid_support_fix`; plane contact is exact).
+Cylinders are exact against planes (`plane_cylinder`) and treated as
+capsules elsewhere.
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ from ..core.model import (BOX, CAPSULE, CYLINDER, ELLIPSOID, Kin, MESH, Model,
 # points emitted per (type1, type2) pair kernel
 _POINTS = {
     (PLANE, SPHERE): 1, (PLANE, CAPSULE): 2, (PLANE, ELLIPSOID): 1,
-    (PLANE, CYLINDER): 2, (PLANE, BOX): 8,
+    (PLANE, CYLINDER): 4, (PLANE, BOX): 8,
     (SPHERE, SPHERE): 1, (SPHERE, CAPSULE): 1, (SPHERE, ELLIPSOID): 1,
     (SPHERE, BOX): 1, (SPHERE, CYLINDER): 1,
     (CAPSULE, CAPSULE): 1, (CAPSULE, ELLIPSOID): 1, (CAPSULE, BOX): 3,
@@ -153,6 +155,29 @@ def plane_capsule(p1, q1, s1, p2, q2, s2):
   pa = a - (r + 0.5 * da) * n
   pb = b - (r + 0.5 * db) * n
   return jnp.stack([pa, pb]), jnp.stack([n, n]), jnp.stack([da, db])
+
+
+def plane_cylinder(p1, q1, s1, p2, q2, s2):
+  """Exact cylinder support vs plane (the capsule approximation floats a
+  standing cylinder by its radius).  4 candidate points: a rim tripod on
+  the deeper end (stable face rest) plus the matching rim point on the
+  other end (line rest when lying)."""
+  pp, n = _plane_frame(p1, q1)
+  axis = gm.quat_rotate(q2, jnp.array([0.0, 0.0, 1.0]))
+  r, h = s2[0], s2[1]
+  ca = jnp.dot(axis, n)
+  # radial direction toward the plane, orthogonal to the axis
+  _, rad = gm.norm_safe(-(n - ca * axis))
+  end_deep = p2 - jnp.sign(ca) * h * axis
+  end_far = p2 + jnp.sign(ca) * h * axis
+  # rim tripod on the deep end: rad rotated 0 / +120 / -120 deg about axis
+  c120, s120 = -0.5, jnp.sqrt(3.0) / 2
+  t1v = rad * c120 + jnp.cross(axis, rad) * s120
+  t2v = rad * c120 - jnp.cross(axis, rad) * s120
+  pts = jnp.stack([end_deep + r * rad, end_far + r * rad,
+                   end_deep + r * t1v, end_deep + r * t2v])
+  d = (pts - pp) @ n
+  return pts, jnp.broadcast_to(n, (4, 3)), d
 
 
 def plane_box(p1, q1, s1, p2, q2, s2):
@@ -288,14 +313,17 @@ def capsule_hull(p1, q1, s1, p2, q2, hf2, hfm2):
       lambda c: _sphere_hull_one(c, s1[0], p2, q2, hf2, hfm2))(pts)
 
 
-def hull_hull(p1, q1, hv1, hvm1, hf1, hfm1,
-              p2, q2, hv2, hvm2, hf2, hfm2, npts: int = 6):
-  """Hull vs hull: face-axis SAT, deepest-vertex manifold.
+def hull_hull(p1, q1, hv1, hvm1, hf1, hfm1, he1, hem1,
+              p2, q2, hv2, hvm2, hf2, hfm2, he2, hem2, npts: int = 6):
+  """Hull vs hull: face + edge-edge SAT, deepest-vertex manifold.
 
-  Separating axes are the face normals of both hulls (edge-edge cross
-  axes are omitted, like MuJoCo's MPR this is approximate; the reference
-  mesh tasks rest objects on faces where this is exact).  The manifold is
-  the npts deepest vertices of the other hull along the best axis.
+  Separating axes are the face normals of both hulls plus the cross
+  products of their unique edge directions (he*/hem*, precomputed at model
+  compile — core/mjcf.py hull_edge_dirs).  When a face axis wins, the
+  manifold is the npts deepest vertices of the other hull along it; when
+  an edge-edge axis wins, the single closest-point contact between the two
+  supporting edges is emitted (reference scenes hit this when mesh objects
+  cross at an angle, e.g. the nut sliding over the cone rim).
   """
   R1 = gm.quat_to_mat(q1)
   R2 = gm.quat_to_mat(q2)
@@ -319,12 +347,30 @@ def hull_hull(p1, q1, hv1, hvm1, hf1, hfm1,
   sepB = jnp.min(projB, axis=0) - supB           # [F2]
   sepB = jnp.where(hfm2 > 0.5, sepB, -big)
 
+  # --- edge-edge cross axes
+  e1w = he1 @ R1.T                               # [E1, 3] world
+  e2w = he2 @ R2.T                               # [E2, 3]
+  E2 = e2w.shape[0]
+  cr = jnp.cross(e1w[:, None, :], e2w[None, :, :]).reshape(-1, 3)
+  nrm = jnp.linalg.norm(cr, axis=-1)
+  ok = ((hem1[:, None] * hem2[None, :]).reshape(-1) > 0.5) & (nrm > 1e-6)
+  ax = cr / jnp.maximum(nrm, 1e-6)[:, None]      # [A, 3]
+  sgn = jnp.where(ax @ (p2 - p1) < 0, -1.0, 1.0)
+  ax = ax * sgn[:, None]                         # oriented hull1 -> hull2
+  prE1 = jnp.where(hvm1[:, None] > 0.5, w1 @ ax.T, -big)  # [HV1, A]
+  prE2 = jnp.where(hvm2[:, None] > 0.5, w2 @ ax.T, big)   # [HV2, A]
+  sepE = jnp.min(prE2, axis=0) - jnp.max(prE1, axis=0)    # [A]
+  sepE = jnp.where(ok, sepE, -big)
+
   F1 = sepA.shape[0]
-  sep = jnp.concatenate([sepA, sepB])
+  F12 = F1 + sepB.shape[0]
+  sep = jnp.concatenate([sepA, sepB, sepE])
   best = jnp.argmax(sep)
+  is_ee = best >= F12
   from_a = best < F1
   iA = jnp.clip(best, 0, F1 - 1)
   iB = jnp.clip(best - F1, 0, sepB.shape[0] - 1)
+  iE = jnp.clip(best - F12, 0, sepE.shape[0] - 1)
 
   # per-vertex depth along the best axis, with a lateral gate: the
   # candidate must lie (loosely) inside the other hull's remaining
@@ -346,6 +392,27 @@ def hull_hull(p1, q1, hv1, hvm1, hf1, hfm1,
   d_out = -neg
   n_out = jnp.broadcast_to(n12, (npts, 3))
   pos_out = pos[idx] - n_out * 0.5 * d_out[:, None]  # midpoint of overlap
+
+  # --- edge-edge winner: one contact at the closest point between the two
+  # supporting edges (lines through the support vertices along the winning
+  # directions); rows 1.. are deactivated.
+  d1 = e1w[iE // E2]
+  d2 = e2w[iE % E2]
+  v1 = w1[jnp.argmax(prE1[:, iE])]
+  v2 = w2[jnp.argmin(prE2[:, iE])]
+  r12 = v2 - v1
+  b = d1 @ d2
+  den = 1.0 - b * b
+  safe = jnp.abs(den) > 1e-9
+  t = jnp.where(safe, (r12 @ d1 - b * (r12 @ d2)) /
+                jnp.where(safe, den, 1.0), 0.0)
+  s = jnp.where(safe, (b * (r12 @ d1) - r12 @ d2) /
+                jnp.where(safe, den, 1.0), 0.0)
+  pos_ee = 0.5 * (v1 + t * d1 + v2 + s * d2)
+  d_ee = jnp.concatenate([sepE[iE][None], jnp.full((npts - 1,), big)])
+  d_out = jnp.where(is_ee, d_ee, d_out)
+  n_out = jnp.where(is_ee, jnp.broadcast_to(ax[iE], (npts, 3)), n_out)
+  pos_out = jnp.where(is_ee, jnp.broadcast_to(pos_ee, (npts, 3)), pos_out)
   return pos_out, n_out, d_out
 
 
@@ -353,23 +420,26 @@ _BOX_FACES = np.concatenate([np.eye(3), -np.eye(3)]).astype(np.float32)
 
 
 def _box_as_hull(s, vmax: int):
-  """Box half-size -> hull arrays padded to vmax verts (8 real, 6 faces).
+  """Box half-size -> hull arrays padded to vmax verts (8 real, 6 faces,
+  3 edge directions).
 
-  Padding matches the mesh hull vertex budget because hull_hull selects
-  candidate positions with a vertex-aligned where(from_a, w2, w1).
+  Vertex padding matches the mesh hull vertex budget because hull_hull
+  selects candidate positions with a vertex-aligned where(from_a, w2, w1).
   """
   hv = jnp.zeros((vmax, 3)).at[:8].set(_CORNERS * s)
   hvm = jnp.zeros(vmax).at[:8].set(1.0)
   off = jnp.concatenate([s, s])
   hf = jnp.concatenate([jnp.asarray(_BOX_FACES), off[:, None]], axis=1)
   hfm = jnp.ones(6)
-  return hv, hvm, hf, hfm
+  he = jnp.eye(3)
+  hem = jnp.ones(3)
+  return hv, hvm, hf, hfm, he, hem
 
 
-def box_hull(p1, q1, s1, p2, q2, hv2, hvm2, hf2, hfm2):
-  bv, bvm, bf, bfm = _box_as_hull(s1, hv2.shape[0])
-  return hull_hull(p1, q1, bv, bvm, bf, bfm,
-                   p2, q2, hv2, hvm2, hf2, hfm2, npts=6)
+def box_hull(p1, q1, s1, p2, q2, hv2, hvm2, hf2, hfm2, he2, hem2):
+  bv, bvm, bf, bfm, be, bem = _box_as_hull(s1, hv2.shape[0])
+  return hull_hull(p1, q1, bv, bvm, bf, bfm, be, bem,
+                   p2, q2, hv2, hvm2, hf2, hfm2, he2, hem2, npts=6)
 
 
 def box_box(p1, q1, s1, p2, q2, s2):
@@ -425,7 +495,46 @@ def box_box(p1, q1, s1, p2, q2, s2):
   pos8 = cand_pos[idx]
   d8 = -neg_d
   n8 = jnp.broadcast_to(n, (8, 3))
+
+  # edge-edge winner (axes 6..14): no corner lies near the contact, so the
+  # corner-candidate manifold above is empty there — emit the closest-point
+  # contact between the two supporting edges instead
+  is_ee = best >= 6
+  ei = jnp.maximum(best - 6, 0)
+  i1, i2 = ei // 3, ei % 3
+  d1 = jnp.take(R1, i1, axis=1)
+  d2 = jnp.take(R2, i2, axis=1)
+  ar = jnp.arange(3)
+  sgn1 = jnp.where(ar == i1, 0.0, jnp.sign(n @ R1))
+  sgn2 = jnp.where(ar == i2, 0.0, jnp.sign(-(n @ R2)))
+  v1 = p1 + R1 @ (sgn1 * s1)   # a point on box1's supporting edge
+  v2 = p2 + R2 @ (sgn2 * s2)
+  r12 = v2 - v1
+  bb = d1 @ d2
+  den = 1.0 - bb * bb
+  safe = jnp.abs(den) > 1e-9
+  t = jnp.where(safe, (r12 @ d1 - bb * (r12 @ d2)) /
+                jnp.where(safe, den, 1.0), 0.0)
+  s = jnp.where(safe, (bb * (r12 @ d1) - r12 @ d2) /
+                jnp.where(safe, den, 1.0), 0.0)
+  pos_ee = 0.5 * (v1 + t * d1 + v2 + s * d2)
+  d_ee = jnp.concatenate([sep_max[None], jnp.ones(7)])
+  d8 = jnp.where(is_ee, d_ee, d8)
+  pos8 = jnp.where(is_ee, jnp.broadcast_to(pos_ee, (8, 3)), pos8)
   return pos8, n8, d8
+
+
+def _ellipsoid_support_fix(q, s, n_pts, d_pts):
+  """Bounding-sphere -> support-radius correction along the contact normal.
+
+  The generic kernels treat an ellipsoid as its min-radius bounding
+  sphere; the true surface extends to h(n) = |diag(s) n| along the contact
+  normal (exact for face/plane-like contacts, first-order for
+  curved-curved).  h is even in n, so normal orientation is irrelevant.
+  """
+  l = jax.vmap(lambda v: gm.quat_rotate_inv(q, v))(n_pts)
+  r_eff = jnp.sqrt(jnp.sum((s * l) ** 2, axis=-1))
+  return d_pts + jnp.min(s) - r_eff
 
 
 # dispatcher: (t1, t2) -> kernel(p1,q1,s1,p2,q2,s2)
@@ -435,6 +544,8 @@ def _kernel(t1: int, t2: int):
   if t1c == PLANE:
     if t2c == SPHERE:
       return lambda *a: plane_sphere(*a, t2=t2)
+    if t2 == CYLINDER:
+      return plane_cylinder
     if t2c == CAPSULE:
       return plane_capsule
     if t2c == ELLIPSOID:
@@ -472,7 +583,8 @@ def _kernel(t1: int, t2: int):
 def _hull_args(model: Model, geoms: np.ndarray):
   hid = np.asarray([model.geom_hullid[g] for g in geoms], np.int32)
   return (model.hull_vert[hid], model.hull_vmask[hid],
-          model.hull_face[hid], model.hull_fmask[hid])
+          model.hull_face[hid], model.hull_fmask[hid],
+          model.hull_edge[hid], model.hull_emask[hid])
 
 
 def collide(model: Model, kin: Kin) -> Contacts:
@@ -490,12 +602,14 @@ def collide(model: Model, kin: Kin) -> Contacts:
     q2 = kin.geom_xquat[g2]
     s2 = model.geom_size[g2]
     if t2 == MESH:
-      hv2, hvm2, hf2, hfm2 = _hull_args(model, g2)
+      hv2, hvm2, hf2, hfm2, he2, hem2 = _hull_args(model, g2)
       t1c = CAPSULE if t1 == CYLINDER else t1
       if t1 == MESH:
-        hv1, hvm1, hf1, hfm1 = _hull_args(model, g1)
+        hv1, hvm1, hf1, hfm1, he1, hem1 = _hull_args(model, g1)
         pos, n, d = jax.vmap(hull_hull)(p1, q1, hv1, hvm1, hf1, hfm1,
-                                        p2, q2, hv2, hvm2, hf2, hfm2)
+                                        he1, hem1,
+                                        p2, q2, hv2, hvm2, hf2, hfm2,
+                                        he2, hem2)
       elif t1c == PLANE:
         pos, n, d = jax.vmap(plane_hull)(p1, q1, s1, p2, q2, hv2, hvm2)
       elif t1c in (SPHERE, ELLIPSOID):
@@ -506,12 +620,20 @@ def collide(model: Model, kin: Kin) -> Contacts:
         pos, n, d = jax.vmap(capsule_hull)(p1, q1, s1, p2, q2, hf2, hfm2)
       elif t1c == BOX:
         pos, n, d = jax.vmap(box_hull)(p1, q1, s1, p2, q2,
-                                       hv2, hvm2, hf2, hfm2)
+                                       hv2, hvm2, hf2, hfm2, he2, hem2)
       else:
         raise NotImplementedError(f'mesh collision vs type {t1}')
     else:
       kern = _kernel(t1, t2)
       pos, n, d = jax.vmap(kern)(p1, q1, s1, p2, q2, s2)  # [P, npts, ...]
+    # ellipsoids: upgrade the bounding-sphere distance to the exact
+    # support radius along the contact normal (plane_ellipsoid is already
+    # exact and keyed with t1 == PLANE)
+    if ELLIPSOID in (t1, t2) and t1 != PLANE:
+      if t1 == ELLIPSOID:
+        d = jax.vmap(_ellipsoid_support_fix)(q1, s1, n, d)
+      if t2 == ELLIPSOID:
+        d = jax.vmap(_ellipsoid_support_fix)(q2, s2, n, d)
     all_pos.append(pos.reshape(-1, 3))
     all_n.append(n.reshape(-1, 3))
     all_d.append(d.reshape(-1))

@@ -113,3 +113,67 @@ def test_plane_ellipsoid():
       jnp.zeros(3), I4, jnp.zeros(3),
       jnp.array([0.0, 0, 0.25]), I4, jnp.array([0.1, 0.2, 0.3]))
   assert float(d[0]) == pytest.approx(-0.05, abs=1e-5)
+
+
+def test_plane_cylinder_standing_and_lying():
+  s = jnp.array([0.1, 0.3, 0.0])  # r=0.1, half-len=0.3
+  # standing upright, base at z=0.05: flat end rests 0.05 above the plane
+  pos, n, d = C.plane_cylinder(jnp.zeros(3), I4, jnp.zeros(3),
+                               jnp.array([0.0, 0.0, 0.35]), I4, s)
+  d = np.asarray(d)
+  # tripod on the bottom rim all at the same height (a capsule
+  # approximation would report 0.35 - 0.3 - 0.1 = -0.05 instead)
+  assert sorted(d)[:3] == pytest.approx([0.05] * 3, abs=1e-6)
+  # lying on its side, center at z=0.08: penetrates by 0.02
+  q = _q([1, 0, 0], np.pi / 2)
+  _, _, d2 = C.plane_cylinder(jnp.zeros(3), I4, jnp.zeros(3),
+                              jnp.array([0.0, 0.0, 0.08]), q, s)
+  d2 = np.asarray(d2)
+  # both end rim points touch the plane at the same depth (line contact)
+  assert sorted(d2)[:2] == pytest.approx([-0.02, -0.02], abs=1e-6)
+
+
+def test_box_box_edge_edge_cross():
+  """Ridge-over-ridge crossing: the contact axis is a cross product of
+  edge directions, and no corner lies near the contact."""
+  s = jnp.array([0.5, 0.05, 0.05])
+  s2 = jnp.array([0.05, 0.5, 0.05])
+  q1 = _q([1, 0, 0], np.pi / 4)
+  q2 = _q([0, 1, 0], np.pi / 4)
+  ridge = 0.05 * np.sqrt(2.0)
+  p2 = jnp.array([0.0, 0.0, 2 * ridge - 0.02])
+  pos, n, d = C.box_box(jnp.zeros(3), q1, s, p2, q2, s2)
+  d = np.asarray(d)
+  assert float(d.min()) == pytest.approx(-0.02, abs=1e-4)
+  i = int(np.argmin(d))
+  assert abs(float(np.asarray(n)[i, 2])) > 0.99
+  assert np.linalg.norm(np.asarray(pos)[i, :2]) < 0.01
+
+
+def test_ellipsoid_box_support_correction():
+  """A flat ellipsoid resting on a box face must rest at its support
+  radius along the face normal, not at its min semi-axis."""
+  from geeco_tpu.core import mjcf as M
+  from geeco_tpu.core.model import make_state
+  from geeco_tpu.physics import kinematics as K
+  import textwrap, tempfile, os
+  xml = textwrap.dedent("""
+    <mujoco>
+      <worldbody>
+        <body name="table"><geom type="box" size="1 1 0.1" pos="0 0 0"/></body>
+        <body name="e" pos="0 0 0.35">
+          <joint type="free"/>
+          <geom type="ellipsoid" size="0.05 0.08 0.3"/>
+        </body>
+      </worldbody>
+    </mujoco>""")
+  with tempfile.TemporaryDirectory() as td:
+    fp = os.path.join(td, 's.xml')
+    open(fp, 'w').write(xml)
+    m, _ = M.load_model(fp)
+  state = make_state(m)
+  con = C.collide(m, K.fk(m, state))
+  d = np.asarray(con.dist)
+  # box top z=0.1, ellipsoid bottom z=0.35-0.3=0.05: penetrating by 0.05.
+  # The min-radius bounding sphere (r=0.05) would report a +0.20 gap.
+  assert float(d.min()) == pytest.approx(-0.05, abs=1e-3)
