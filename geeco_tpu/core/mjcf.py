@@ -453,10 +453,13 @@ def _mat_to_quat_np(m):
 
 
 # Distal Fetch links that can reach the task workspace and therefore get
-# collision capsule proxies (fetch-gym.xml link geom names).
+# collision capsule proxies (fetch-gym.xml link geom names).  gripper_link
+# is deliberately absent: its bounding capsule would fill the concave grasp
+# cavity between the fingers and bump objects the real palm mesh clears
+# (breaks the MuJoCo replay-parity gate); the finger boxes carry the grasp
+# contacts exactly as in the reference.
 _ARM_PROXY_LINKS = ('shoulder_lift', 'upperarm_roll', 'elbow_flex',
-                    'forearm_roll', 'wrist_flex', 'wrist_roll',
-                    'gripper_link')
+                    'forearm_roll', 'wrist_flex', 'wrist_roll')
 
 
 def _fit_capsule_np(verts: np.ndarray):

@@ -52,10 +52,11 @@ class Stepper(NamedTuple):
                          efc_force=f)
 
   def step(self, state: State, n_substeps: int = 20,
-           solver_iterations: int = 60) -> State:
+           solver_iterations: int = 60, unroll: int = 1) -> State:
     def body(s, _):
       return self.substep(s, solver_iterations), None
-    state, _ = jax.lax.scan(body, state, None, length=n_substeps)
+    state, _ = jax.lax.scan(body, state, None, length=n_substeps,
+                            unroll=unroll)
     return state
 
   def init_state(self, state: State) -> State:

@@ -52,8 +52,9 @@ def test_proxies_exist_and_are_invisible(with_proxies):
   model, _ = with_proxies
   caps = [g for g, n in enumerate(model.geom_name)
           if n.endswith('__colcap')]
-  # distal chain: shoulder_lift .. gripper_link (7 links)
-  assert len(caps) == 7
+  # distal chain: shoulder_lift .. wrist_roll (6 links; gripper_link is
+  # deliberately proxy-free — see core/mjcf.py _ARM_PROXY_LINKS)
+  assert len(caps) == 6
   for g in caps:
     assert model.geom_type[g] == CAPSULE
     assert float(model.geom_rgba[g][3]) == 0.0  # renderer skips alpha=0
