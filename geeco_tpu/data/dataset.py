@@ -105,11 +105,35 @@ def preprocess_targets(ex: Dict) -> Dict:
   return ex
 
 
-def make_windows(ex: Dict, window_size: int = 4) -> Dict:
-  """Sliding windows (_window_v3): [T] -> [T-K+1, K, ...]."""
-  T = ex['step'].shape[0]
+def window_indices(T: int, window_size: int, pad_start: bool = True):
+  """Window index matrix [N, K] into a length-T episode.
+
+  pad_start prepends K-1 windows whose indices are clamped to 0 — the
+  exact first-frame padding the serving ring buffer uses for the first
+  control steps (predictor.py:192-200).  The reference trains WITHOUT
+  these (_window_v3, geeco_gym.py:615-631), which leaves the serving
+  start state out-of-distribution: a policy that learned "static window
+  => zero action" from post-completion idle tails emits ~zero on the
+  static padded start window, never moves, and deadlocks at 0% success.
+  Padded start windows carry the (large) initial expert actions as
+  labels, so the goal-difference features disambiguate start from goal.
+  """
   n_win = T - window_size + 1
   idx = np.arange(n_win)[:, None] + np.arange(window_size)[None, :]
+  if pad_start:
+    pad = np.maximum(
+        np.arange(-(window_size - 1), 0)[:, None] +
+        np.arange(window_size)[None, :], 0)
+    idx = np.concatenate([pad, idx], axis=0)
+  return idx
+
+
+def make_windows(ex: Dict, window_size: int = 4,
+                 pad_start: bool = True) -> Dict:
+  """Sliding windows (_window_v3 + start padding): [T] -> [N, K, ...]."""
+  T = ex['step'].shape[0]
+  idx = window_indices(T, window_size, pad_start)
+  n_win = idx.shape[0]
   out = {}
   for k, v in ex.items():
     if k in ('target_rgb', 'target_depth'):
@@ -189,7 +213,8 @@ def input_pipeline(dataset_dir: str, split_name: str, mode: str,
                    drop_remainder: bool = True,
                    prefetch: bool = True,
                    with_depth: bool = True,
-                   dedup_frames: bool = True) -> Iterator:
+                   dedup_frames: bool = True,
+                   pad_start: bool = True) -> Iterator:
   """Yields (feature, label) dict batches; sequential windows within an
   episode keep their order inside a batch slot (the LSTM state-carry
   training semantics, see models/e2evmc).
@@ -243,8 +268,8 @@ def input_pipeline(dataset_dir: str, split_name: str, mode: str,
   K = window_size
   for small, rgb_u8, depth in episodes:
     T = small['step'].shape[0]  # already droplast (T = episode_length - 1)
-    n_win = T - K + 1
-    widx = np.arange(n_win)[:, None] + np.arange(K)[None, :]
+    widx = window_indices(T, K, pad_start=pad_start)
+    n_win = widx.shape[0]
     for s in range(0, n_win, batch_size):
       sl = widx[s:s + batch_size]
       if sl.shape[0] < batch_size and drop_remainder:

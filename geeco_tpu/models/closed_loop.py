@@ -44,11 +44,19 @@ def init_policy_state(config: E2EVMCConfig) -> PolicyState:
 
 
 def make_closed_loop(env: GeecoEnv, config: E2EVMCConfig,
-                     goal_conditioned: bool):
+                     goal_conditioned: bool, carry_mode: str = 'window'):
   """Returns rollout_fn(params, es, tgt_frame, n_steps) -> (es_f, aux).
 
   The per-step policy+env transition is compiled once; vmap over envs and
   feed per-env target frames for the goal-conditioned variant.
+
+  carry_mode: 'window' (default) re-zeros the LSTM carry every control
+  step, so each forward sees exactly what training saw — a fresh carry
+  over a window_size window (train.py resets on any step-0 window in the
+  batch, so trained carries never accumulate across an episode; measured
+  4x lower open-loop action error vs accumulating).  'persistent' keeps
+  the reference predictor's accumulate-across-steps behavior
+  (src/models/e2evmc/predictor.py:127-200) for parity experiments.
   """
   model = make_model(config, goal_conditioned)
 
@@ -62,13 +70,18 @@ def make_closed_loop(env: GeecoEnv, config: E2EVMCConfig,
                        frames0)
     jnt = jnp.where(ps.started,
                     jnp.concatenate([ps.jnt[1:], jnt_state[None]]), jnt0)
-    reset = jnp.logical_not(ps.started)
+    if carry_mode == 'window':
+      in_carry = init_lstm_carry(config, 1)
+      reset = jnp.asarray(True)
+    else:
+      in_carry = ps.carry
+      reset = jnp.logical_not(ps.started)
     if goal_conditioned:
       ep, carry = model.apply({'params': params}, frames[None], jnt[None],
-                              tgt_frame[None], ps.carry, reset)
+                              tgt_frame[None], in_carry, reset)
     else:
       ep, carry = model.apply({'params': params}, frames[None], jnt[None],
-                              ps.carry, reset)
+                              in_carry, reset)
     cmd_ee = ep['pred_cmd_ee'][0]
     cmd_grp = (jnp.argmax(ep['logits_cmd_grp'][0]) - 1).astype(jnp.float32)
     action = jnp.concatenate([cmd_ee, cmd_grp[None]])
@@ -131,7 +144,8 @@ def synth_target_frames(env: GeecoEnv, config: E2EVMCConfig, es):
 def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
                      goal_conditioned: bool, rngs, tgt_frames=None,
                      n_steps: int = 200, es0=None,
-                     step_textures=None) -> Dict[str, jax.Array]:
+                     step_textures=None,
+                     carry_mode: str = 'window') -> Dict[str, jax.Array]:
   """Reset + closed-loop rollout for a batch of envs; returns metrics.
 
   One batched policy+env step is jit-compiled and iterated from the host
@@ -139,7 +153,7 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
   whole episode as a single scan makes the XLA graph too large.
   """
   env.setup()
-  step_fn = make_closed_loop(env, config, goal_conditioned)
+  step_fn = make_closed_loop(env, config, goal_conditioned, carry_mode)
   es = es0 if es0 is not None else \
       jax.jit(jax.vmap(env.reset_random))(rngs)
   B = rngs.shape[0]

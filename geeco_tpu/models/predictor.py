@@ -31,11 +31,19 @@ class _BasePredictor:
   goal_conditioned = False
 
   def __init__(self, model_dir: str, checkpoint_name: Optional[str] = None,
-               config: Optional[E2EVMCConfig] = None, params=None):
+               config: Optional[E2EVMCConfig] = None, params=None,
+               carry_mode: str = 'window'):
+    """carry_mode: 'window' re-zeros the LSTM carry every predict() so the
+    forward matches the training distribution (train.py feeds each window
+    a mostly-fresh carry; accumulating across an episode measured 4x
+    higher open-loop action error); 'persistent' reproduces the reference
+    predictor's accumulate-across-steps behavior (predictor.py:127-200).
+    """
     if config is None:
       config = load_model_config(os.path.join(model_dir,
                                               'e2evmc_config.json'))
     self.cfg = config
+    self.carry_mode = carry_mode
     self.model = make_model(config, self.goal_conditioned)
     if params is None:
       if checkpoint_name:
@@ -117,8 +125,12 @@ class _BasePredictor:
     frames = jnp.asarray(self._buffer_frames)[None]
     jnt = jnp.asarray(self._buffer_jnt)[None]
     tgt = jnp.asarray(self._tgt)[None]
-    ep, carry = self._apply(self.params, frames, jnt, tgt, self._carry,
-                            jnp.asarray(self._needs_reset))
+    if self.carry_mode == 'window':
+      in_carry, reset = init_lstm_carry(self.cfg, 1), True
+    else:
+      in_carry, reset = self._carry, self._needs_reset
+    ep, carry = self._apply(self.params, frames, jnt, tgt, in_carry,
+                            jnp.asarray(reset))
     self._carry = carry
     self._needs_reset = False
     out: Dict[str, np.ndarray] = {}

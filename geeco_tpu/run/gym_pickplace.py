@@ -36,6 +36,11 @@ ARGPARSER.add_argument('--checkpoint_name', type=str, default=None)
 ARGPARSER.add_argument('--dataset_dir', type=str, default='')
 ARGPARSER.add_argument('--tfrecord_list', type=str, default='')
 ARGPARSER.add_argument('--background_video', type=str, default='')
+ARGPARSER.add_argument('--carry_mode', type=str, default='window',
+                       choices=['window', 'persistent'],
+                       help='LSTM carry at serving: fresh per control step '
+                            '(matches training) or accumulated across the '
+                            'episode (reference-predictor parity)')
 ARGPARSER.add_argument('--tex_grid', type=int, default=-1,
                        help='texel grid for textured surfaces; 0 disables '
                             'texture tessellation (flat colors), -1 = '

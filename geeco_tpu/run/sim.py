@@ -386,11 +386,15 @@ def run_controller_batched(args):
         tgt = jnp.concatenate([tgt, d], axis=-1)
       agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
                              tgt_frames=tgt, n_steps=episode_steps,
-                             es0=es0, step_textures=step_textures)
+                             es0=es0, step_textures=step_textures,
+                             carry_mode=getattr(args, 'carry_mode',
+                                                'window'))
     else:
       agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
                              n_steps=episode_steps,
-                             step_textures=step_textures)
+                             step_textures=step_textures,
+                             carry_mode=getattr(args, 'carry_mode',
+                                                'window'))
     agg = {k: np.asarray(v) for k, v in agg.items()}
     for k in range(n):
       rows.append({

@@ -65,21 +65,26 @@ def test_window_pipeline_alignment(tmp_path):
   root = _make_dataset(tmp_path, n_records=1, T=12)
   paths = D.list_records(root)
   f, l = D.episode_windows(paths[0], window_size=4, fetch_target=True)
-  # 12 frames -> drop last -> 11 -> windows of 4 -> 8
-  assert f['step'].shape == (8, 4)
-  assert f['rgb'].shape == (8, 4, 8, 8, 3)
+  # 12 frames -> drop last -> 11 -> 8 sliding windows + 3 start-padded
+  assert f['step'].shape == (11, 4)
+  assert f['rgb'].shape == (11, 4, 8, 8, 3)
   assert f['rgb'].max() <= 1.0  # normalized from uint8
-  assert f['target_rgb'].shape == (8, 8, 8, 3)
-  assert l['cmd'].shape == (8, 4)
-  # label = last frame of window
+  assert f['target_rgb'].shape == (11, 8, 8, 3)
+  assert l['cmd'].shape == (11, 4)
   ep, _ = load_episode_npz(paths[0])
-  np.testing.assert_allclose(l['cmd'][0], ep['cmd'][3])
-  np.testing.assert_allclose(l['cmd'][5], ep['cmd'][8])
+  # start-padded windows repeat frame 0 (ring-buffer serving semantics)
+  np.testing.assert_array_equal(f['step'][0], [0, 0, 0, 0])
+  np.testing.assert_array_equal(f['step'][2], [0, 0, 1, 2])
+  np.testing.assert_allclose(l['cmd'][0], ep['cmd'][0])
+  np.testing.assert_allclose(l['cmd'][2], ep['cmd'][2])
+  # label = last frame of window (first unpadded window at row 3)
+  np.testing.assert_allclose(l['cmd'][3], ep['cmd'][3])
+  np.testing.assert_allclose(l['cmd'][8], ep['cmd'][8])
   # vel_target = next-frame vel_state
   vel_state = np.stack([ep[f'joint_qvel-{j}'] for j in ARM], 1)
-  np.testing.assert_allclose(l['vel_target'][0], vel_state[4], rtol=1e-6)
+  np.testing.assert_allclose(l['vel_target'][3], vel_state[4], rtol=1e-6)
   # windows overlap correctly
-  np.testing.assert_array_equal(f['step'][1], [1, 2, 3, 4])
+  np.testing.assert_array_equal(f['step'][4], [1, 2, 3, 4])
 
 
 def test_input_pipeline_batches(tmp_path):
