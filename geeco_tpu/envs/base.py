@@ -162,13 +162,16 @@ class GeecoEnv:
   def __init__(self, shapes: str = 'pad2-cube2', frame_res=(256, 256),
                asset_root: str = ASSET_ROOT, n_substeps: int = 20,
                settle_steps: int = 10, solver_iterations: int = 60,
+               solver_method: str = 'psd', contact_select_k: int = 128,
                renderer_kwargs: Optional[dict] = None):
     import os
     self.shapes = shapes
     self.task = 'pushing' if shapes.startswith('push') else 'pickplace'
     xml = os.path.join(asset_root, 'envs', MODEL_XML[shapes])
     self.model, self.assets = mjcf.load_model(xml)
-    self.stepper = build_stepper(self.model)
+    self.stepper = build_stepper(self.model,
+                                 contact_select_k=contact_select_k)
+    self.solver_method = solver_method
     h, w = frame_res
     self.renderer = build_renderer(self.model, self.assets, width=w,
                                    height=h, **(renderer_kwargs or {}))
@@ -267,7 +270,8 @@ class GeecoEnv:
     def settle(s):
       def body(s, _):
         return self.stepper.step(s, self.n_substeps,
-                                 self.solver_iterations), None
+                                 self.solver_iterations,
+                                 solver_method=self.solver_method), None
       s, _ = jax.lax.scan(body, s, None, length=self.settle_steps)
       return s
 
@@ -303,7 +307,8 @@ class GeecoEnv:
   def _settle(self, phys: State) -> State:
     def body(s, _):
       return self.stepper.step(s, self.n_substeps,
-                               self.solver_iterations), None
+                               self.solver_iterations,
+                               solver_method=self.solver_method), None
     phys, _ = jax.lax.scan(body, phys, None, length=self.settle_steps)
     return phys
 
@@ -379,7 +384,8 @@ class GeecoEnv:
         kin.xquat[self.gripper_body] + jnp.array([1.0, 0, 1.0, 0]))
     phys = phys.replace(ctrl=ctrl, mocap_pos=mocap_pos[None],
                         mocap_quat=mocap_quat[None])
-    phys = self.stepper.step(phys, self.n_substeps, self.solver_iterations)
+    phys = self.stepper.step(phys, self.n_substeps, self.solver_iterations,
+                             solver_method=self.solver_method)
     return es.replace(phys=phys, ts=es.ts + 1)
 
   # ------------------------------------------------------------- readouts

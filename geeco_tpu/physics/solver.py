@@ -380,9 +380,117 @@ def scatter_forces(cs: ConstraintStatic, con: Constraints,
   return f_full
 
 
+def _iterate(Aop, project, f0: jax.Array, b: jax.Array, precond: jax.Array,
+             iterations: int, method: str, unroll: int = 1) -> jax.Array:
+  """Run the projected iteration on min 1/2 f^T A f + b^T f s.t. cone.
+
+  Methods (all touch only cone/limit rows through ``project``):
+    psd  preconditioned steepest descent with exact quadratic step — two
+         operator applications per iteration, monotone, the round-1 default.
+    cg   preconditioned conjugate gradient (Fletcher-Reeves) with projection;
+         conjugacy is only approximate once the projection clamps rows, but
+         the momentum still cuts the iteration count on the ill-conditioned
+         graspy states (measured in scripts_dev/solver_convergence.py).
+    bb   projected Barzilai-Borwein: the step size comes from the previous
+         (s, y) pair, so each iteration needs only ONE operator application —
+         half the op chain of psd/cg on TPU — at the cost of non-monotone
+         convergence (safeguarded by falling back to the preconditioned
+         gradient step when curvature information is unusable).
+  """
+  if method == 'psd':
+    def body(f, _):
+      g = Aop(f) + b
+      d = precond * g
+      Ad = Aop(d)
+      denom = jnp.dot(d, Ad)
+      alpha = jnp.where(denom > 1e-12, jnp.dot(g, d) / jnp.maximum(
+          denom, 1e-12), 0.0)
+      return project(f - alpha * d), None
+    f, _ = jax.lax.scan(body, f0, None, length=iterations,
+                        unroll=unroll)
+    return f
+
+  if method == 'cg':
+    def body(carry, _):
+      f, d_prev, gz_prev = carry
+      g = Aop(f) + b
+      z = precond * g
+      gz = jnp.dot(g, z)
+      beta = jnp.where(gz_prev > 1e-12, gz / jnp.maximum(gz_prev, 1e-12),
+                       0.0)
+      d = z + beta * d_prev
+      Ad = Aop(d)
+      denom = jnp.dot(d, Ad)
+      # non-positive curvature along d: fall back to the plain gradient step
+      d = jnp.where(denom > 1e-12, d, z)
+      Ad2 = jnp.where(denom > 1e-12, jnp.dot(d, Ad), jnp.dot(z, Aop(z)))
+      alpha = jnp.where(Ad2 > 1e-12, jnp.dot(g, d) / jnp.maximum(
+          Ad2, 1e-12), 0.0)
+      return (project(f - alpha * d), d, gz), None
+    init = (f0, jnp.zeros_like(f0), jnp.asarray(0.0, f0.dtype))
+    (f, _, _), _ = jax.lax.scan(body, init, None, length=iterations,
+                                unroll=unroll)
+    return f
+
+  if method == 'apgd':
+    # Nesterov-accelerated projected gradient with adaptive restart
+    # (the standard contact-QP accelerator, cf. Chrono's APGD): a psd step
+    # taken at the extrapolated point y, momentum reset whenever the
+    # objective direction test g . (f_new - f) > 0 fails.
+    def body(carry, _):
+      f, y, t = carry
+      g = Aop(y) + b
+      d = precond * g
+      Ad = Aop(d)
+      denom = jnp.dot(d, Ad)
+      alpha = jnp.where(denom > 1e-12, jnp.dot(g, d) / jnp.maximum(
+          denom, 1e-12), 0.0)
+      f_new = project(y - alpha * d)
+      restart = jnp.dot(g, f_new - f) > 0.0
+      t_new = jnp.where(restart, 1.0, 0.5 * (1.0 + jnp.sqrt(1.0 + 4 * t * t)))
+      beta = jnp.where(restart, 0.0, (t - 1.0) / t_new)
+      y_new = f_new + beta * (f_new - f)
+      return (f_new, y_new, t_new), None
+    init = (f0, f0, jnp.asarray(1.0, f0.dtype))
+    (f, _, _), _ = jax.lax.scan(body, init, None, length=iterations,
+                                unroll=unroll)
+    return f
+
+  if method == 'bb':
+    # one exact preconditioned-gradient step to seed the (s, y) history
+    g0 = Aop(f0) + b
+    d0 = precond * g0
+    Ad0 = Aop(d0)
+    den0 = jnp.dot(d0, Ad0)
+    alpha0 = jnp.where(den0 > 1e-12, jnp.dot(g0, d0) / jnp.maximum(
+        den0, 1e-12), 0.0)
+    f1 = project(f0 - alpha0 * d0)
+
+    def body(carry, _):
+      f, f_prev, g_prev, alpha_prev = carry
+      g = Aop(f) + b                      # the ONLY operator application
+      s = f - f_prev
+      y = g - g_prev
+      sy = jnp.dot(s, y)
+      ss = jnp.dot(s, s / precond)        # s^T P^-1 s: BB1 in the P metric
+      # when the curvature pair is unusable (projection killed the step, or
+      # non-convex direction) reuse the previous step size instead of
+      # spending a second Aop on an exact line search
+      alpha = jnp.where(sy > 1e-14, ss / jnp.maximum(sy, 1e-14), alpha_prev)
+      f_new = project(f - alpha * precond * g)
+      return (f_new, f, g, alpha), None
+    init = (f1, f0, g0, jnp.maximum(alpha0, 1e-8))
+    (f, _, _, _), _ = jax.lax.scan(body, init, None, length=iterations,
+                                   unroll=unroll)
+    return f
+
+  raise ValueError(f'unknown solver method {method!r}')
+
+
 def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
           con: Constraints, warmstart: jax.Array | None,
-          iterations: int = 60) -> Tuple[jax.Array, jax.Array]:
+          iterations: int = 60, method: str = 'psd',
+          unroll: int = 1) -> Tuple[jax.Array, jax.Array]:
   """Projected-gradient solve with weld-equality elimination.
 
   The weld equality rows couple to the 1e11-damped world slides
@@ -458,36 +566,32 @@ def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
       u = X_I @ f
       return J_I @ u + R_I * f - A_IE @ (A_EE_inv @ (J_E @ u))
 
-    def body(fI, _):
-      g = A_red(fI) + b_red
-      d = precond * g
-      Ad = A_red(d)
-      denom = jnp.dot(d, Ad)
-      alpha = jnp.where(denom > 1e-12, jnp.dot(g, d) / jnp.maximum(
-          denom, 1e-12), 0.0)
-      # project touches only contact/limit rows, all of which are < nI
-      return project(fI - alpha * d), None
-
-    fI, _ = jax.lax.scan(body, f0[:nI], None, length=iterations)
+    # project touches only contact/limit rows, all of which are < nI
+    if method == 'pallas' and cs.ngrp == 4:
+      from .solver_pallas import make_iterator
+      it = make_iterator(K, cs.nlim, nE, iterations)
+      fI = it(J_I, X_I, A_IE, A_EE_inv, R_I, b_red, precond, f0[:nI],
+              con.mu_t, con.mu_tor, con_active, lim_active)
+    else:
+      fI = _iterate(A_red, project, f0[:nI], b_red, precond, iterations,
+                    'psd' if method == 'pallas' else method, unroll)
     fE = -A_EE_inv @ (b_E + A_IE.T @ fI)
     f = jnp.concatenate([fI, fE])
   else:
     precond = 1.0 / (diagA + R + 1e-12)
 
-    def body(f, _):
-      g = con.J @ (X @ f) + R * f + b
-      # preconditioned steepest descent with exact quadratic step size:
-      # robust to strongly coupled (near-duplicate) contact rows where a
-      # fixed-step projected Jacobi iteration diverges.
-      d = precond * g
-      Ad = con.J @ (X @ d) + R * d
-      denom = jnp.dot(d, Ad)
-      alpha = jnp.where(denom > 1e-12, jnp.dot(g, d) / jnp.maximum(
-          denom, 1e-12), 0.0)
-      f = project(f - alpha * d)
-      return f, None
+    if method == 'pallas' and cs.ngrp == 4:
+      from .solver_pallas import make_iterator
+      it = make_iterator(K, cs.nlim, 0, iterations)
+      f = it(con.J, X, jnp.zeros((ne_sel, 0)), jnp.zeros((0, 0)), R, b,
+             precond, f0, con.mu_t, con.mu_tor, con_active, lim_active)
+    else:
 
-    f, _ = jax.lax.scan(body, f0, None, length=iterations)
+      def A_full(f):
+        return con.J @ (X @ f) + R * f
+
+      f = _iterate(A_full, project, f0, b, precond, iterations,
+                   'psd' if method == 'pallas' else method, unroll)
 
   qacc = smooth.qacc_smooth + X @ f
   return scatter_forces(cs, con, f), qacc

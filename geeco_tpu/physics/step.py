@@ -37,7 +37,8 @@ class Stepper(NamedTuple):
   def fk(self, state: State) -> Kin:
     return K.fk(self.model, state)
 
-  def substep(self, state: State, solver_iterations: int = 60) -> State:
+  def substep(self, state: State, solver_iterations: int = 60,
+              solver_method: str = 'psd', solver_unroll: int = 1) -> State:
     model = self.model
     dt = model.opt.timestep
     smooth = D.smooth_dynamics(model, state, self.anc_mask, dt)
@@ -45,16 +46,19 @@ class Stepper(NamedTuple):
     con = S.make_constraints(model, self.cs, smooth, contacts, state,
                              self.anc_mask)
     f, qacc = S.solve(model, self.cs, smooth, con, state.efc_force,
-                      iterations=solver_iterations)
+                      iterations=solver_iterations, method=solver_method,
+                      unroll=solver_unroll)
     qvel = state.qvel + dt * qacc
     qpos = K.integrate_qpos(model, state.qpos, qvel, dt)
     return state.replace(qpos=qpos, qvel=qvel, time=state.time + dt,
                          efc_force=f)
 
   def step(self, state: State, n_substeps: int = 20,
-           solver_iterations: int = 60, unroll: int = 1) -> State:
+           solver_iterations: int = 60, unroll: int = 1,
+           solver_method: str = 'psd', solver_unroll: int = 1) -> State:
     def body(s, _):
-      return self.substep(s, solver_iterations), None
+      return self.substep(s, solver_iterations, solver_method,
+                          solver_unroll), None
     state, _ = jax.lax.scan(body, state, None, length=n_substeps,
                             unroll=unroll)
     return state

@@ -97,3 +97,57 @@ for unroll in (1, 2, 4):
         vm(lambda s, u=unroll: stp.step(s, unroll=u)), state)
 
 timed('env.step (full)', vm(env.step), es, actions)
+
+# ---- solver method x iteration sweep (see scripts_dev/solver_convergence
+# for the accuracy side of this tradeoff) --------------------------------
+for method in ('psd', 'cg', 'bb'):
+  for iters in (15, 30, 60):
+    timed(f'step20 {method}@{iters}',
+          vm(lambda s, m=method, k=iters: stp.step(
+              s, solver_iterations=k, solver_method=m)), state)
+
+# ---- solver-iteration unroll (can XLA keep J/X VMEM-resident across
+# unrolled iterations? each non-unrolled iteration re-streams ~126 KB/env
+# of J+X from HBM: 2 Aop x 60 iters x 20 substeps x B — the suspected
+# physics bandwidth floor) -------------------------------------------------
+for su in (4, 8, 16):
+  timed(f'step20 psd@60 solver_unroll={su}',
+        vm(lambda s, u=su: stp.step(s, solver_unroll=u)), state)
+
+# ---- contact active-set size sweep (smaller K shrinks every constraint
+# row dimension: assembly einsums + solver matvecs) -----------------------
+from geeco_tpu.physics.step import build_stepper
+for sel_k in (32, 48, 64):
+  stp_k = build_stepper(model, contact_select_k=sel_k)
+  # re-init warmstart at the right static width for this stepper
+  st_k = state.replace(
+      efc_force=jnp.zeros((B, stp_k.cs.ne), jnp.float32))
+  timed(f'step20 K={sel_k} psd@60',
+        vm(lambda s, sk=stp_k: sk.step(s)), st_k)
+  timed(f'step20 K={sel_k} bb@30',
+        vm(lambda s, sk=stp_k: sk.step(
+            s, solver_iterations=30, solver_method='bb')), st_k)
+
+# ---- microbench: how does XLA lower the batched GEMV at the heart of the
+# solver? einsum (dot_general -> MXU, N=1 pads 128x) vs explicit mul+sum
+# (VPU elementwise + reduce). Decides the Aop formulation on TPU. ---------
+nI, nv = 4 * stp.cs.ncon_sel + 2 * stp.cs.nlim, model.nv
+key = jax.random.PRNGKey(1)
+Jb = jax.random.normal(key, (B, nI, nv), jnp.float32)
+xb = jax.random.normal(key, (B, nv), jnp.float32)
+fb = jax.random.normal(key, (B, nI), jnp.float32)
+
+
+def _ein_chain(x, Jb=Jb, fb=fb):
+  u = jnp.einsum('eiv,ei->ev', Jb, fb + x.sum() * 1e-9)   # J^T f
+  return jnp.einsum('eiv,ev->ei', Jb, u)                  # J u
+
+
+def _mulsum_chain(x, Jb=Jb, fb=fb):
+  f = fb + x.sum() * 1e-9
+  u = (Jb * f[:, :, None]).sum(1)
+  return (Jb * u[:, None, :]).sum(2)
+
+
+timed('gemv einsum  JtJ f', lambda s: _ein_chain(s.qvel), state)
+timed('gemv mul+sum JtJ f', lambda s: _mulsum_chain(s.qvel), state)
