@@ -43,6 +43,11 @@ CONFIGS = [
     ('psd', 40, 32),
     ('apgd', 30, 32),
 ]
+if os.environ.get('CONFIGS'):
+  # e.g. CONFIGS="psd:60:96,psd:60:64" (baseline psd:60:128 auto-prepended)
+  CONFIGS = [('psd', 60, 128)] + [
+      (m, int(k), int(sk)) for m, k, sk in
+      (c.split(':') for c in os.environ['CONFIGS'].split(','))]
 
 
 def run_config(fx, method, iters, sel_k):
