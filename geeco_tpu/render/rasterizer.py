@@ -38,7 +38,7 @@ import numpy as np
 
 from ..core import math as gm
 from ..core.mjcf import Assets
-from ..core.model import Kin, Model
+from ..core.model import CAPSULE, Kin, Model
 from .scene import RenderScene, build_render_scene
 
 
@@ -60,6 +60,8 @@ class Renderer(NamedTuple):
   coarse_k: int   # candidate capacity per coarse (64 px) region
   mid_k: int      # candidate capacity per mid (32 px) region
   backend: str    # 'pallas' | 'jnp' | 'auto'
+  shadows: bool   # occlusion-tested shadows on static receivers
+  shadow_caps: Tuple[int, ...]  # capsule occluder geom ids (arm proxies)
 
   # ------------------------------------------------------------------ api
 
@@ -83,19 +85,27 @@ def build_renderer(model: Model, assets: Assets, width: int = 256,
                    mesh_face_budget: int = 400, tex_grid: int = None,
                    depth_gl: bool = False, cull: int = -1,
                    coarse: int = 4, coarse_k: int = 512, mid_k: int = 192,
-                   backend: str = 'auto') -> Renderer:
+                   backend: str = 'auto', shadows: bool = True) -> Renderer:
   scene_kwargs = {} if tex_grid is None else {'tex_grid': tex_grid}
   scene = build_render_scene(model, assets, mesh_face_budget=mesh_face_budget,
                              **scene_kwargs)
   # sky color: mean of the builtin gradient skybox texture
   # (assets/gym/defaults/geeco-gym.xml:3)
   sky = (0.45, 0.86, 0.57)
+  # arm-link capsule occluders: the invisible collision proxies emitted at
+  # compile (core/mjcf.py arm-proxy block) double as shadow casters — the
+  # reference's OpenGL shadow map includes the arm (castshadow light,
+  # assets/gym/defaults/geeco-gym.xml)
+  rgba = np.asarray(model.geom_rgba)
+  caps = tuple(int(g) for g in range(model.ngeom)
+               if model.geom_type[g] == CAPSULE and rgba[g, 3] < 0.01)
   return Renderer(model=model, scene=scene, width=width, height=height,
                   cam_id=model.cam(camera), tile=tile,
                   tris_per_tile=tris_per_tile, chunk=chunk, znear=znear,
                   zfar=zfar, sky_rgb=sky, depth_gl=depth_gl, cull=cull,
                   coarse=coarse, coarse_k=min(coarse_k, scene.tri.shape[0]),
-                  mid_k=min(mid_k, coarse_k), backend=backend)
+                  mid_k=min(mid_k, coarse_k), backend=backend,
+                  shadows=shadows, shadow_caps=caps)
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +192,12 @@ def _project_and_shade(r: Renderer, kin: Kin, rgba: jax.Array,
   else:
     l = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), centroid.shape)
   diff = jnp.maximum(jnp.einsum('ti,ti->t', n_w, l), 0.0)
+  if (r.shadows and model.nlight and scene.shadow_recv.size and
+      (scene.shadow_cast.size or r.shadow_caps)):
+    # shadowed receivers lose the light's diffuse term (ambient remains),
+    # matching the reference's castshadow point light
+    # (assets/gym/defaults/geeco-gym.xml; OpenGL shadow map)
+    diff = diff * (1.0 - _shadow_occlusion(r, kin, world))
   shade = jnp.clip(0.45 + 0.6 * diff, 0.0, 1.1)
   base_r, base_g, base_b = rgba[tg, 0], rgba[tg, 1], rgba[tg, 2]
   if scene.tex_default.shape[0]:
@@ -208,6 +224,101 @@ def _project_and_shade(r: Renderer, kin: Kin, rgba: jax.Array,
   iz1 = 1.0 / jnp.maximum(d1, 1e-6)
   iz2 = 1.0 / jnp.maximum(d2, 1e-6)
   return TriPlanes(x0, y0, x1, y1, x2, y2, iz0, iz1, iz2, valid, colp)
+
+
+def _seg_seg_dist(p1: jax.Array, d1: jax.Array, pa: jax.Array,
+                  pb: jax.Array) -> jax.Array:
+  """Min distance between segments p1->p1+d1 ([P,3]) and pa->pb ([C,3]).
+
+  Vectorized Ericson closest-point-of-two-segments; returns [P, C].
+  """
+  d2 = pb - pa                                     # [C, 3]
+  rv = p1[:, None, :] - pa[None, :, :]             # [P, C, 3]
+  a = jnp.sum(d1 * d1, -1)[:, None]                # [P, 1]
+  e = jnp.sum(d2 * d2, -1)[None, :]                # [1, C]
+  f = jnp.einsum('cj,pcj->pc', d2, rv)
+  c = jnp.einsum('pj,pcj->pc', d1, rv)
+  b = jnp.einsum('pj,cj->pc', d1, d2)
+  denom = a * e - b * b
+  s = jnp.clip(jnp.where(denom > 1e-12, b * f - c * e, 0.0) /
+               jnp.where(denom > 1e-12, denom, 1.0), 0.0, 1.0)
+  t = jnp.clip((b * s + f) / jnp.where(e > 1e-12, e, 1.0), 0.0, 1.0)
+  s = jnp.clip((b * t - c) / jnp.where(a > 1e-12, a, 1.0), 0.0, 1.0)
+  q1 = p1[:, None, :] + s[..., None] * d1[:, None, :]
+  q2 = pa[None, :, :] + t[..., None] * d2[None, :, :]
+  return jnp.linalg.norm(q1 - q2, axis=-1)
+
+
+# casters per chunk of the Moller-Trumbore scan: bounds the [Pv, CC, 3]
+# intermediates to ~1 MB/env so the vmapped batch render never materializes
+# a multi-GB occlusion tensor
+_SHADOW_CHUNK = 64
+
+
+def _shadow_occlusion(r: Renderer, kin: Kin, world: jax.Array) -> jax.Array:
+  """Per-triangle shadow fraction [T] in [0, 1].
+
+  Light visibility is tested once per unique receiver vertex
+  (scene.shadow_pts) against (a) free-body triangles (Moller-Trumbore,
+  chunk-scanned) and (b) the arm's capsule proxies (segment-segment
+  distance), then averaged over each receiver triangle's 3 vertices for
+  soft edges.  Non-receiver triangles get 0.
+  """
+  model, scene = r.model, r.scene
+  P = world[jnp.asarray(scene.shadow_pts)]         # [Pv, 3]
+  if model.light_directional[0]:
+    d = jnp.broadcast_to(-model.light_dir[0] * 20.0, P.shape)
+  else:
+    d = model.light_pos[0] - P                     # [Pv, 3]
+  eps = 1e-3
+  occ = jnp.zeros(P.shape[0], jnp.float32)
+
+  ct = np.asarray(scene.shadow_cast)
+  if ct.size:
+    CC = min(_SHADOW_CHUNK, ct.size)
+    pad = (-ct.size) % CC
+    # pad with copies of the first caster: occlusion is an OR, re-testing
+    # a real triangle is harmless and keeps every chunk full
+    ct = np.concatenate([ct, np.full(pad, ct[0], ct.dtype)])
+    tri_c = jnp.asarray(np.asarray(scene.tri)[ct])  # [Ctp, 3]
+    va = world[tri_c[:, 0]].reshape(-1, CC, 3)      # [n_chunks, CC, 3]
+    vb = world[tri_c[:, 1]].reshape(-1, CC, 3)
+    vc = world[tri_c[:, 2]].reshape(-1, CC, 3)
+
+    def chunk(occ_acc, abc):
+      A, B, C_ = abc
+      e1 = B - A                                   # [CC, 3]
+      e2 = C_ - A
+      pv = jnp.cross(d[:, None, :], e2[None, :, :])  # [Pv, CC, 3]
+      det = jnp.einsum('cj,pcj->pc', e1, pv)
+      inv = 1.0 / jnp.where(jnp.abs(det) > 1e-9, det, 1.0)
+      tv = P[:, None, :] - A[None, :, :]
+      u = jnp.einsum('pcj,pcj->pc', tv, pv) * inv
+      qv = jnp.cross(tv, e1[None, :, :])
+      v = jnp.einsum('pj,pcj->pc', d, qv) * inv
+      t = jnp.einsum('cj,pcj->pc', e2, qv) * inv
+      hit = ((jnp.abs(det) > 1e-9) & (u >= 0.0) & (v >= 0.0) &
+             (u + v <= 1.0) & (t > eps) & (t < 1.0 - eps))
+      return jnp.maximum(occ_acc, jnp.any(hit, 1).astype(jnp.float32)), None
+
+    occ, _ = jax.lax.scan(chunk, occ, (va, vb, vc))
+
+  if r.shadow_caps:
+    gids = jnp.asarray(r.shadow_caps)
+    gp = kin.geom_xpos[gids]                       # [Nc, 3]
+    gq = kin.geom_xquat[gids]
+    z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), gp.shape)
+    ax = jax.vmap(gm.quat_rotate)(gq, z)
+    hl = jnp.asarray(model.geom_size)[gids, 1][:, None]
+    rad = jnp.asarray(model.geom_size)[gids, 0]
+    dist = _seg_seg_dist(P, d, gp - ax * hl, gp + ax * hl)
+    occ = jnp.maximum(occ, jnp.any(dist < rad[None, :], 1)
+                      .astype(jnp.float32))
+
+  occ_tri = occ[jnp.asarray(scene.shadow_recv_pt)].mean(-1)   # [Rr]
+  T = scene.tri.shape[0]
+  return jnp.zeros(T, jnp.float32).at[jnp.asarray(scene.shadow_recv)
+                                      ].set(occ_tri)
 
 
 def _pack_sky(sky_rgb) -> float:

@@ -38,6 +38,19 @@ class RenderScene(NamedTuple):
   tex_default: np.ndarray  # [S, R, R, 3] f32 static texel colors
   tex_slot_geom: np.ndarray  # [S] int32 geom id per slot
   tex_res: int             # R
+  # --- shadows (planar occlusion-tested, see rasterizer._shadow_factors) ---
+  # receivers: triangles of static bodies (table / floor / walls) whose
+  # shading gets a per-vertex light-visibility test; casters: triangles of
+  # free-jointed bodies (the task objects).  Arm links cast via their
+  # collision capsule proxies, resolved at renderer build (invisible
+  # capsule geoms on articulated bodies, core/mjcf.py arm-proxy block).
+  shadow_recv: np.ndarray  # [Rr] int32 triangle indices
+  shadow_cast: np.ndarray  # [Ct] int32 triangle indices
+  # deduplicated receiver sample points: grid tessellations share vertices
+  # heavily (~5x), so light visibility is tested once per unique vertex and
+  # averaged per triangle (soft 0/1/3..1 edge levels)
+  shadow_pts: np.ndarray     # [Pv] int32 vertex ids
+  shadow_recv_pt: np.ndarray  # [Rr, 3] int32 indices into shadow_pts
 
 
 # ------------------------------------------------------------- tessellation
@@ -290,6 +303,25 @@ def build_render_scene(model: Model, assets: Assets,
       continue
     emit(v, f, g)
   S, R = len(tex_default), _TEX_RES
+  tri_geom_all = np.concatenate(all_fg)
+  # body movability: any joint on the chain to world (for receivers);
+  # free-jointed bodies (the loose task objects) are the triangle casters
+  movable = np.zeros(model.nbody, bool)
+  has_free = np.zeros(model.nbody, bool)
+  for b in range(model.nbody):
+    has_free[b] = any(model.jnt_type[j] == 0  # FREE
+                      for j in model.body_jntadr[b])
+    p = b
+    while p:
+      if model.body_jntadr[p]:
+        movable[b] = True
+        break
+      p = model.body_parentid[p]
+  gb = np.asarray(model.geom_bodyid)
+  recv = np.nonzero(~movable[gb[tri_geom_all]])[0].astype(np.int32)
+  cast = np.nonzero(has_free[gb[tri_geom_all]])[0].astype(np.int32)
+  tri_all = np.concatenate(all_f)
+  spts, sinv = np.unique(tri_all[recv].ravel(), return_inverse=True)
   return RenderScene(
       vert=np.concatenate(all_v),
       vert_geom=np.concatenate(all_vg),
@@ -302,4 +334,8 @@ def build_render_scene(model: Model, assets: Assets,
                    else np.zeros((0, R, R, 3), np.float32)),
       tex_slot_geom=np.asarray(tex_slot_geom, np.int32),
       tex_res=R,
+      shadow_recv=recv,
+      shadow_cast=cast,
+      shadow_pts=spts.astype(np.int32),
+      shadow_recv_pt=sinv.reshape(-1, 3).astype(np.int32),
   )

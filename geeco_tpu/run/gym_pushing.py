@@ -38,6 +38,9 @@ ARGPARSER.add_argument('--carry_mode', type=str, default='window',
                        help='LSTM carry at serving: fresh per control step '
                             '(matches training) or accumulated across the '
                             'episode (reference-predictor parity)')
+ARGPARSER.add_argument('--shadows', type=int, default=-1,
+                       help='occlusion-tested shadows: 1 on, 0 off, '
+                            '-1 renderer default (on)')
 ARGPARSER.add_argument('--tex_grid', type=int, default=-1,
                        help='texel grid for textured surfaces; 0 disables '
                             'texture tessellation (flat colors), -1 = '

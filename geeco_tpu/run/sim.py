@@ -43,6 +43,9 @@ EVAL_FIELDS = ('episode_id', 'obj_vicinity', 'grasp_success',
 
 def build_env(args) -> GeecoEnv:
   rk = {}
+  sh = getattr(args, 'shadows', -1)
+  if sh is not None and sh >= 0:
+    rk['shadows'] = bool(sh)
   tg = getattr(args, 'tex_grid', -1)
   if tg is not None and tg >= 0:
     rk['tex_grid'] = tg

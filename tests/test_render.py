@@ -37,17 +37,17 @@ def rendered():
   rgba = rgba.at[model.geom('object0')].set(jnp.array([1, 0, 0, 1.0]))
   rgba = rgba.at[model.geom('goal0')].set(jnp.array([0, 0, 1, 1.0]))
   rgb, depth = jax.jit(r.render)(kin, rgba)
-  return model, r, np.asarray(rgb), np.asarray(depth)
+  return model, r, np.asarray(rgb), np.asarray(depth), kin, rgba
 
 
 def test_shapes_and_types(rendered):
-  _, _, rgb, depth = rendered
+  _, _, rgb, depth = rendered[:4]
   assert rgb.shape == (256, 256, 3) and rgb.dtype == np.uint8
   assert depth.shape == (256, 256) and np.isfinite(depth).all()
 
 
 def test_sky_at_top(rendered):
-  _, r, rgb, depth = rendered
+  _, r, rgb, depth = rendered[:4]
   # top rows are sky (or far wall) — depth far, greenish-gray
   assert depth[0].min() > 1.0
   # some top-left pixels miss all geometry -> sky color
@@ -58,7 +58,7 @@ def test_sky_at_top(rendered):
 
 
 def test_scene_content_visible(rendered):
-  _, _, rgb, depth = rendered
+  _, _, rgb, depth = rendered[:4]
   # the image must not be a single flat color
   assert rgb.reshape(-1, 3).std(axis=0).mean() > 10
   # red object0 pixels exist (recolored at reset)
@@ -70,13 +70,13 @@ def test_scene_content_visible(rendered):
 
 
 def test_depth_orders_scene(rendered):
-  _, _, rgb, depth = rendered
+  _, _, rgb, depth = rendered[:4]
   # table region (lower half center) closer than top rows
   assert depth[200, 128] < depth[5, 128]
 
 
 def test_visibility_mask(rendered):
-  model, r, rgb, _ = rendered
+  model, r, rgb, _ = rendered[:4]
   # hiding every object geom removes red pixels
   rgba = model.geom_rgba
   rgba = rgba.at[model.geom('object0')].set(jnp.array([1, 0, 0, 0.0]))
@@ -97,3 +97,32 @@ def _kin_of(model):
   qpos = set_joint_qpos(model, qpos, 'object0:joint',
                         jnp.array([1.3, 0.6, 0.3075, 1, 0, 0, 0]))
   return st.fk(state.replace(qpos=qpos))
+
+
+def test_shadow_sets_compiled(rendered):
+  model, r = rendered[0], rendered[1]
+  sc = r.scene
+  # receivers = static-body tris, casters = free-body tris (the 4 objects)
+  assert sc.shadow_recv.size > 100 and sc.shadow_cast.size >= 24
+  gb = np.asarray(model.geom_bodyid)
+  cast_bodies = {model.body_name[gb[g]] for g in
+                 np.asarray(sc.tri_geom)[sc.shadow_cast]}
+  assert all(b.startswith(('object', 'goal')) for b in cast_bodies)
+  # arm capsule proxies double as occluders
+  assert len(r.shadow_caps) >= 3
+  # dedup bought a real reduction over 3 points/tri
+  assert sc.shadow_pts.size < 0.6 * 3 * sc.shadow_recv.size
+
+
+def test_shadows_darken_not_brighten(rendered):
+  model, r, rgb_on, _, kin, rgba = rendered
+  off, _ = jax.jit(r._replace(shadows=False).render)(kin, rgba)
+  on = rgb_on.astype(int)
+  off = np.asarray(off).astype(int)
+  diff = on - off
+  # shadows only remove the diffuse term — never brighten
+  assert (diff > 2).sum() == 0, f'{(diff > 2).sum()} brightened px'
+  # a visible shadow region exists under/near the objects
+  assert (diff.min(-1) < -8).sum() > 30, 'no shadow pixels'
+  # sky rows untouched
+  assert (on[0, :32] == off[0, :32]).all()
