@@ -360,24 +360,19 @@ def _row_order(ncon: int, nlim: int, neq: int, ngrp: int = 4) -> dict:
 def gather_warmstart(cs: ConstraintStatic, con: Constraints,
                      warm_full: jax.Array) -> jax.Array:
   """Map a full-layout warmstart vector onto the selected-row layout."""
-  K = cs.ncon_sel
-  parts = []
-  for g in range(cs.ngrp):  # contact groups
-    parts.append(warm_full[g * cs.ncon + con.sel_idx])
-  parts.append(warm_full[cs.ngrp * cs.ncon:])  # limits + welds
-  return jnp.concatenate(parts) if parts else warm_full
+  warm2 = warm_full[:cs.ngrp * cs.ncon].reshape(cs.ngrp, cs.ncon)
+  sel = warm2[:, con.sel_idx]                  # one gather for all groups
+  return jnp.concatenate([sel.reshape(-1),
+                          warm_full[cs.ngrp * cs.ncon:]])  # limits + welds
 
 
 def scatter_forces(cs: ConstraintStatic, con: Constraints,
                    f_sel: jax.Array) -> jax.Array:
   """Selected-row forces -> full-layout vector (for warmstart carry)."""
   K = cs.ncon_sel
-  f_full = jnp.zeros(cs.ne)
-  for g in range(cs.ngrp):
-    f_full = f_full.at[g * cs.ncon + con.sel_idx].set(
-        f_sel[g * K:(g + 1) * K])
-  f_full = f_full.at[cs.ngrp * cs.ncon:].set(f_sel[cs.ngrp * K:])
-  return f_full
+  f2 = f_sel[:cs.ngrp * K].reshape(cs.ngrp, K)
+  full2 = jnp.zeros((cs.ngrp, cs.ncon)).at[:, con.sel_idx].set(f2)
+  return jnp.concatenate([full2.reshape(-1), f_sel[cs.ngrp * K:]])
 
 
 def _iterate(Aop, project, f0: jax.Array, b: jax.Array, precond: jax.Array,
