@@ -93,7 +93,12 @@ def main():
     sweep = [int(b) for b in
              os.environ.get('BENCH_SWEEP', '256,512,1024').split(',')]
 
-  env = GeecoEnv(shapes='pad2-cube2', settle_steps=2)
+  env_kwargs = {}
+  if 'BENCH_SOLVER_ITERS' in os.environ:
+    env_kwargs['solver_iterations'] = int(os.environ['BENCH_SOLVER_ITERS'])
+  if 'BENCH_SOLVER_METHOD' in os.environ:
+    env_kwargs['solver_method'] = os.environ['BENCH_SOLVER_METHOD']
+  env = GeecoEnv(shapes='pad2-cube2', settle_steps=2, **env_kwargs)
   env.setup()
 
   results = {}

@@ -162,13 +162,22 @@ class GeecoEnv:
   def __init__(self, shapes: str = 'pad2-cube2', frame_res=(256, 256),
                asset_root: str = ASSET_ROOT, n_substeps: int = 20,
                settle_steps: int = 10, solver_iterations: int = 60,
-               solver_method: str = 'psd', contact_select_k: int = 128,
+               solver_method: str = 'psd',
+               contact_select_k: Optional[int] = None,
                renderer_kwargs: Optional[dict] = None):
     import os
     self.shapes = shapes
     self.task = 'pushing' if shapes.startswith('push') else 'pickplace'
     xml = os.path.join(asset_root, 'envs', MODEL_XML[shapes])
     self.model, self.assets = mjcf.load_model(xml)
+    if contact_select_k is None:
+      # the top-K contact active set must cover every simultaneously
+      # penetrating row; clutter scenes add ~2 box-manifolds of resting
+      # rows per extra free body, and at K=128 those evict the ~0-depth
+      # finger-cube grasp rows mid-transport (the cube silently slips:
+      # expert success 0% -> 100% on clutter4 at K>=192)
+      n_free = sum(1 for t in self.model.jnt_type if t == 0)  # FREE
+      contact_select_k = 128 + 16 * max(0, n_free - 4)
     self.stepper = build_stepper(self.model,
                                  contact_select_k=contact_select_k)
     self.solver_method = solver_method

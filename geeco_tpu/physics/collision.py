@@ -591,16 +591,25 @@ def collide(model: Model, kin: Kin) -> Contacts:
   """Evaluate all static pairs; returns fixed-size contact arrays."""
   all_pos, all_n, all_d = [], [], []
   geom1_rows, geom2_rows = [], []
+  # one pose/size gather over ALL pairs, sliced per group below — per-group
+  # gathers were ~6 unfusable ops x groups on the dispatch-bound substep
+  G1 = np.concatenate([[p[0] for p in pairs]
+                       for _, pairs in model.col_pairs]).astype(np.int32) \
+      if model.col_pairs else np.zeros(0, np.int32)
+  G2 = np.concatenate([[p[1] for p in pairs]
+                       for _, pairs in model.col_pairs]).astype(np.int32) \
+      if model.col_pairs else np.zeros(0, np.int32)
+  P1a, Q1a, S1a = kin.geom_xpos[G1], kin.geom_xquat[G1], model.geom_size[G1]
+  P2a, Q2a, S2a = kin.geom_xpos[G2], kin.geom_xquat[G2], model.geom_size[G2]
+  off = 0
   for (t1, t2), pairs in model.col_pairs:
     npts = _POINTS[(t1, t2)]
     g1 = np.asarray([p[0] for p in pairs], np.int32)
     g2 = np.asarray([p[1] for p in pairs], np.int32)
-    p1 = kin.geom_xpos[g1]
-    q1 = kin.geom_xquat[g1]
-    s1 = model.geom_size[g1]
-    p2 = kin.geom_xpos[g2]
-    q2 = kin.geom_xquat[g2]
-    s2 = model.geom_size[g2]
+    sl = slice(off, off + len(pairs))
+    off += len(pairs)
+    p1, q1, s1 = P1a[sl], Q1a[sl], S1a[sl]
+    p2, q2, s2 = P2a[sl], Q2a[sl], S2a[sl]
     if t2 == MESH:
       hv2, hvm2, hf2, hfm2, he2, hem2 = _hull_args(model, g2)
       t1c = CAPSULE if t1 == CYLINDER else t1

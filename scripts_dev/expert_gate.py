@@ -20,11 +20,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 '..'))
 
 DEFAULT_SCENES = {
-    # scene: episodes (pick family gets the reference-protocol weight)
+    # scene: episodes (pick family gets the reference-protocol weight;
+    # clutter 100 and mesh scenes 10 match the reference eval protocol,
+    # SURVEY.md §6 eval row)
     'pad2-cube2': 512,
     'pad2-cube2-clutter4': 128,
     'pad2-cube2-clutter12': 128,
     'push-pad2-cube2': 256,
+    'ball-cup': 16,
+    'nut-cone': 16,
 }
 
 

@@ -114,3 +114,29 @@ def test_sphere_sample_within_radius():
   norms = np.linalg.norm(np.asarray(pts), axis=1)
   assert norms.max() <= 0.03 + 1e-6
   assert norms.mean() > 0.01  # not collapsed to the center
+
+
+def test_adaptive_contact_select_k(monkeypatch):
+  """Clutter scenes widen the top-K contact active set: at K=128 the
+  resting clutter manifolds evict the ~0-depth finger-cube grasp rows
+  mid-transport (expert success 0% -> 100% on clutter4 at K>=192)."""
+  import geeco_tpu.envs.base as B
+  seen = {}
+  orig = B.build_stepper
+
+  def spy(model, contact_select_k=128, **kw):
+    seen['k'] = contact_select_k
+    return orig(model, contact_select_k=contact_select_k, **kw)
+
+  monkeypatch.setattr(B, 'build_stepper', spy)
+  B.GeecoEnv(shapes='pad2-cube2', frame_res=(64, 64))
+  assert seen['k'] == 128          # baseline scenes keep the round-1 K
+  B.GeecoEnv(shapes='pad2-cube2-clutter4', frame_res=(64, 64))
+  assert seen['k'] >= 192          # the measured clutter4 threshold
+  k4 = seen['k']
+  B.GeecoEnv(shapes='pad2-cube2-clutter12', frame_res=(64, 64))
+  assert seen['k'] > k4            # grows with free-body count
+  # explicit override still wins
+  B.GeecoEnv(shapes='pad2-cube2-clutter4', frame_res=(64, 64),
+             contact_select_k=96)
+  assert seen['k'] == 96
