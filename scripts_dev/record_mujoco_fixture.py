@@ -3,13 +3,15 @@
 BASELINE.md's fidelity gate: "recorded MuJoCo expert trajectories must
 replay to task success" in the new engine (reference replay mechanism:
 scripts/gym_pickplace.py:765-794).  This script drives the vendored
-pad2-cube2 scene with the `mujoco` package (3.x) using the same env-step
-semantics the reference gym env uses (ctrl_set_action + mocap_set_action +
-20 substeps; src/geeco_gym/pickplace.py:342-376) and the same scripted
-expert FSM (gym_pickplace.py:369-563 constants), then saves the per-step
-command buffer + initial state as a committed test fixture.
+scenes with the `mujoco` package (3.x) using the same env-step semantics
+the reference gym envs use (ctrl_set_action + mocap_set_action +
+20 substeps; src/geeco_gym/pickplace.py:342-376, pushing.py:327-361) and
+the same scripted expert FSMs (pick: gym_pickplace.py:369-563; push:
+gym_pushing.py:250-443 constants), then saves the per-step command buffer
++ initial state as a committed test fixture.
 
-Run:  python scripts_dev/record_mujoco_fixture.py [out.npz]
+Run:  python scripts_dev/record_mujoco_fixture.py [out.npz] [shapes]
+      (shapes: pad2-cube2 | push-pad2-cube2)
 """
 
 import os
@@ -148,17 +150,91 @@ def run_expert(env, task_object='object0', task_goal='goal0'):
   return np.stack(cmds)
 
 
-def main(out_path, seed=0):
-  rng = np.random.RandomState(seed)
-  env = MjEnv()
-  env.setup()
+# pushing constants (gym_pushing.py:127-133)
+OFFSET_PRE_PUSH = 0.1
+DIST_PRE_PUSH = 0.015
+NOOP = 0.0
 
-  # spawn: fixed in-grid positions (pad2-cube2 workspace, envs/spawn.py)
-  spawn_z = 0.27 + 0.037
-  spawn_xy = {
-      'object0:joint': (1.30, 0.62), 'object1:joint': (1.22, 0.92),
-      'goal0:joint': (1.42, 0.72), 'goal1:joint': (1.34, 0.95),
-  }
+
+def run_push_expert(env, task_object='object0', task_goal='goal0'):
+  """Sequential pushing FSM (gym_pushing.py:250-443): push the object
+  along x onto the pad column, back off, then push along y."""
+  cmds = []
+  phase, target, sign, goal_y, count = 0, None, 1.0, 0.0, 0
+  for _ in range(EPISODE_STEPS):
+    grip = env.site_pos('robot0:grip')
+    obj = env.site_pos(task_object)
+    pad = env.site_pos(task_goal)
+    pre_x_vec = obj - grip - np.array([OFFSET_PRE_PUSH, 0.0, 0.0])
+    if phase == 0 and np.linalg.norm(pre_x_vec) < DIST_PRE_PUSH:
+      target = np.array([pad[0], obj[1], obj[2]])   # gym_pushing.py:286-288
+      phase = 1
+    if phase == 1 and np.linalg.norm(target - obj) < DIST_GOAL:
+      if abs(pad[1] - obj[1]) < DIST_GOAL:          # gym_pushing.py:421
+        phase = 5
+      else:
+        sign = -1.0 if pad[1] - obj[1] > 0 else 1.0  # gym_pushing.py:316-319
+        goal_y, count, phase = pad[1], 0, 2
+    if phase == 2:
+      count += 1
+      if count >= 3:
+        phase = 3
+    pre_y_vec = obj - grip + np.array([0.0, sign * OFFSET_PRE_PUSH, 0.0])
+    if phase == 3 and np.linalg.norm(pre_y_vec) < DIST_PRE_PUSH:
+      target = np.array([obj[0], goal_y, obj[2]])   # gym_pushing.py:361-363
+      phase = 4
+    if phase == 4 and np.linalg.norm(target - obj) < DIST_GOAL:
+      phase = 5
+    if phase == 0:
+      action = np.concatenate([pre_x_vec * MULT, [CLOSE]])
+    elif phase in (1, 4):
+      action = np.concatenate([(target - obj) * MULT, [CLOSE]])
+    elif phase == 2:
+      action = np.array([-OFFSET_PRE_PUSH * MULT, 0.0, 0.0, CLOSE])
+    elif phase == 3:
+      action = np.concatenate([pre_y_vec * MULT, [CLOSE]])
+    else:
+      action = np.array([0.0, 0.0, 0.0, NOOP])
+    cmds.append(action.astype(np.float32))
+    env.step(action)
+  return np.stack(cmds)
+
+
+# robot reset anchor (pickplace.py:57, pushing.py:450)
+ROBOT_XPOS0 = {'pad2-cube2': None,           # setup() already parks there
+               'push-pad2-cube2': np.array([1.3419, 0.7491, 0.8])}
+
+# fixed in-grid spawn positions per scene (envs/base.py SPAWN_DIMS cells;
+# push goal pads get the +0.125 x offset, pushing.py:434-436)
+SPAWN_XY = {
+    'pad2-cube2': {
+        'object0:joint': (1.30, 0.62), 'object1:joint': (1.22, 0.92),
+        'goal0:joint': (1.42, 0.72), 'goal1:joint': (1.34, 0.95),
+    },
+    'push-pad2-cube2': {
+        'object0:joint': (1.23125, 0.75), 'object1:joint': (1.34375, 0.5833),
+        'goal0:joint': (1.35625, 0.9167), 'goal1:joint': (1.46875, 0.75),
+    },
+}
+
+
+def main(out_path, shapes='pad2-cube2', seed=0):
+  rng = np.random.RandomState(seed)
+  pushing = shapes.startswith('push')
+  env = MjEnv(shapes)
+  env.setup()
+  if ROBOT_XPOS0[shapes] is not None:
+    # reset parks the mocap at the task's EE anchor (pushing.py:450)
+    env.d.mocap_pos[0] = ROBOT_XPOS0[shapes]
+    env.d.mocap_quat[0] = EE_QUAT
+    env.d.qvel[:] = 0
+    for _ in range(10):
+      env.substeps()
+    env.forward()
+
+  # spawn: fixed in-grid positions (workspace grids, envs/spawn.py)
+  spawn_z = 0.27 + (0.025 if pushing else 0.037)
+  spawn_xy = SPAWN_XY[shapes]
   for name, (x, y) in spawn_xy.items():
     x += rng.uniform(-0.01, 0.01)
     y += rng.uniform(-0.01, 0.01)
@@ -176,14 +252,14 @@ def main(out_path, seed=0):
   init_mocap = np.concatenate([env.d.mocap_pos[0], env.d.mocap_quat[0]])
   init_qpos = env.d.qpos.copy()
 
-  cmds = run_expert(env)
+  cmds = run_push_expert(env) if pushing else run_expert(env)
 
   obj = env.site_pos('object0')
   goal = env.site_pos('goal0')
   dist = float(np.linalg.norm(obj - goal))
   success = dist <= GOAL_VICINITY
-  print(f'mujoco {mujoco.__version__} expert episode: final obj-goal dist '
-        f'{dist:.4f} success={success}')
+  print(f'mujoco {mujoco.__version__} {shapes} expert episode: final '
+        f'obj-goal dist {dist:.4f} success={success}')
   if not success:
     print('WARNING: mujoco episode did not succeed; fixture not saved')
     return 1
@@ -191,7 +267,7 @@ def main(out_path, seed=0):
   np.savez_compressed(
       out_path,
       mujoco_version=np.str_(mujoco.__version__),
-      shapes=np.str_('pad2-cube2'),
+      shapes=np.str_(shapes),
       task_object=np.str_('object0'),
       task_goal=np.str_('goal0'),
       obj_joint_names=np.asarray(OBJ_JOINTS),
@@ -206,8 +282,12 @@ def main(out_path, seed=0):
 
 
 if __name__ == '__main__':
+  shapes = sys.argv[2] if len(sys.argv) > 2 else 'pad2-cube2'
+  default_name = ('mujoco_pushing_pushpad2cube2.npz'
+                  if shapes.startswith('push')
+                  else 'mujoco_pickplace_pad2cube2.npz')
   out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
       os.path.dirname(os.path.abspath(__file__)), '..', 'tests', 'fixtures',
-      'mujoco_pickplace_pad2cube2.npz')
+      default_name)
   os.makedirs(os.path.dirname(out), exist_ok=True)
-  raise SystemExit(main(out))
+  raise SystemExit(main(out, shapes))

@@ -1,11 +1,12 @@
-"""Cross-engine fidelity gate: a REAL-MuJoCo-recorded expert trajectory
+"""Cross-engine fidelity gate: REAL-MuJoCo-recorded expert trajectories
 must replay open-loop to task success in the new engine.
 
-The fixture (tests/fixtures/mujoco_pickplace_pad2cube2.npz) was recorded by
-scripts_dev/record_mujoco_fixture.py driving the vendored pad2-cube2 scene
-with the `mujoco` package using the reference env-step contract
-(ctrl_set_action + mocap_set_action + 20 substeps) and the reference expert
-FSM.  Replay mechanism parity: scripts/gym_pickplace.py:765-794.
+The fixtures (tests/fixtures/mujoco_*.npz) were recorded by
+scripts_dev/record_mujoco_fixture.py driving the vendored scenes with the
+`mujoco` package using the reference env-step contract (ctrl_set_action +
+mocap_set_action + 20 substeps) and the reference expert FSMs.  Replay
+mechanism parity: scripts/gym_pickplace.py:765-794 (pick),
+gym_pushing.py:585-615 (push).
 """
 
 import os
@@ -18,14 +19,16 @@ import pytest
 
 from geeco_tpu.envs.base import ResetSpec, make_env
 
-FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       'fixtures', 'mujoco_pickplace_pad2cube2.npz')
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'fixtures')
+FIXTURES = ('mujoco_pickplace_pad2cube2.npz',
+            'mujoco_pushing_pushpad2cube2.npz')
 
 
-@pytest.fixture(scope='module')
-def replayed():
-  fx = np.load(FIXTURE)
-  env = make_env('pad2-cube2', frame_res=(64, 64))
+@pytest.fixture(scope='module', params=FIXTURES)
+def replayed(request):
+  fx = np.load(os.path.join(FIXTURE_DIR, request.param))
+  env = make_env(str(fx['shapes']), frame_res=(64, 64))
   env.setup()
   obj_qpos = fx['init_obj_qpos'].copy()
   obj_qpos[:, 2] -= 0.025   # reset_to re-adds the table-height adjust
