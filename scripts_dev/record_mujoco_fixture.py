@@ -117,7 +117,7 @@ class MjEnv:
 
 def run_expert(env, task_object='object0', task_goal='goal0'):
   """Sequential pick&place FSM (gym_pickplace.py:369-563)."""
-  cmds = []
+  cmds, qpos_trace = [], []
   phase, target, aux = 0, None, None
   for _ in range(EPISODE_STEPS):
     grip = env.site_pos('robot0:grip')
@@ -147,7 +147,8 @@ def run_expert(env, task_object='object0', task_goal='goal0'):
       action = np.array([0.0, 0.0, OFFSET_HEIGHT_PRE_GRASP / 2, OPEN])
     cmds.append(action.astype(np.float32))
     env.step(action)
-  return np.stack(cmds)
+    qpos_trace.append(env.d.qpos.copy().astype(np.float32))
+  return np.stack(cmds), np.stack(qpos_trace)
 
 
 # pushing constants (gym_pushing.py:127-133)
@@ -159,7 +160,7 @@ NOOP = 0.0
 def run_push_expert(env, task_object='object0', task_goal='goal0'):
   """Sequential pushing FSM (gym_pushing.py:250-443): push the object
   along x onto the pad column, back off, then push along y."""
-  cmds = []
+  cmds, qpos_trace = [], []
   phase, target, sign, goal_y, count = 0, None, 1.0, 0.0, 0
   for _ in range(EPISODE_STEPS):
     grip = env.site_pos('robot0:grip')
@@ -197,7 +198,8 @@ def run_push_expert(env, task_object='object0', task_goal='goal0'):
       action = np.array([0.0, 0.0, 0.0, NOOP])
     cmds.append(action.astype(np.float32))
     env.step(action)
-  return np.stack(cmds)
+    qpos_trace.append(env.d.qpos.copy().astype(np.float32))
+  return np.stack(cmds), np.stack(qpos_trace)
 
 
 # robot reset anchor (pickplace.py:57, pushing.py:450)
@@ -252,7 +254,12 @@ def main(out_path, shapes='pad2-cube2', seed=0):
   init_mocap = np.concatenate([env.d.mocap_pos[0], env.d.mocap_quat[0]])
   init_qpos = env.d.qpos.copy()
 
-  cmds = run_push_expert(env) if pushing else run_expert(env)
+  cmds, qpos_trace = (run_push_expert(env) if pushing else run_expert(env))
+  # per-joint object position trace (engine-agnostic drift metric: qpos
+  # layouts match only joint-by-joint)
+  obj_pos_trace = np.stack(
+      [[q[env.jnt_qpos_idx(j):env.jnt_qpos_idx(j) + 3] for j in OBJ_JOINTS]
+       for q in qpos_trace])  # [T, n_obj, 3]
 
   obj = env.site_pos('object0')
   goal = env.site_pos('goal0')
@@ -275,6 +282,8 @@ def main(out_path, shapes='pad2-cube2', seed=0):
       init_mocap_qpos=init_mocap.astype(np.float32),
       init_qpos=init_qpos.astype(np.float32),
       cmds=cmds,
+      qpos_trace=qpos_trace,
+      obj_pos_trace=obj_pos_trace.astype(np.float32),
       final_goal_dist=np.float32(dist),
   )
   print('saved', out_path)
