@@ -11,7 +11,7 @@ gym_pushing.py:250-443 constants), then saves the per-step command buffer
 + initial state as a committed test fixture.
 
 Run:  python scripts_dev/record_mujoco_fixture.py [out.npz] [shapes]
-      (shapes: pad2-cube2 | push-pad2-cube2)
+      (shapes: pad2-cube2 | push-pad2-cube2 | pad2-cube2-clutter4)
 """
 
 import os
@@ -38,7 +38,15 @@ OPEN, CLOSE = 1.0, -1.0
 N_SUBSTEPS = 20
 EPISODE_STEPS = 100
 
-OBJ_JOINTS = ('object0:joint', 'object1:joint', 'goal0:joint', 'goal1:joint')
+PICK_JOINTS = ('object0:joint', 'object1:joint', 'goal0:joint',
+               'goal1:joint')
+# free-joint order must match GeecoEnv.obj_joint_names (envs/base.py)
+OBJ_JOINTS_BY_SHAPES = {
+    'pad2-cube2': PICK_JOINTS,
+    'push-pad2-cube2': PICK_JOINTS,
+    'pad2-cube2-clutter4': PICK_JOINTS + tuple(
+        f'clutter{i}:joint' for i in range(4)),
+}
 
 
 class MjEnv:
@@ -204,6 +212,7 @@ def run_push_expert(env, task_object='object0', task_goal='goal0'):
 
 # robot reset anchor (pickplace.py:57, pushing.py:450)
 ROBOT_XPOS0 = {'pad2-cube2': None,           # setup() already parks there
+               'pad2-cube2-clutter4': None,
                'push-pad2-cube2': np.array([1.3419, 0.7491, 0.8])}
 
 # fixed in-grid spawn positions per scene (envs/base.py SPAWN_DIMS cells;
@@ -216,6 +225,13 @@ SPAWN_XY = {
     'push-pad2-cube2': {
         'object0:joint': (1.23125, 0.75), 'object1:joint': (1.34375, 0.5833),
         'goal0:joint': (1.35625, 0.9167), 'goal1:joint': (1.46875, 0.75),
+    },
+    # clutter4: 4x7 grid cells (envs/base.py SPAWN_DIMS), distinct cells
+    'pad2-cube2-clutter4': {
+        'object0:joint': (1.20625, 0.5214), 'object1:joint': (1.11875, 0.8643),
+        'goal0:joint': (1.38125, 0.75), 'goal1:joint': (1.29375, 1.0929),
+        'clutter0:joint': (1.11875, 0.4071), 'clutter1:joint': (1.29375, 0.6357),
+        'clutter2:joint': (1.38125, 0.9786), 'clutter3:joint': (1.20625, 0.8643),
     },
 }
 
@@ -250,7 +266,8 @@ def main(out_path, shapes='pad2-cube2', seed=0):
   env.forward()
 
   # frame-0 state AFTER settle (what the reference replay buffer stores)
-  init_obj_qpos = np.stack([env.get_joint_qpos(j) for j in OBJ_JOINTS])
+  obj_joints = OBJ_JOINTS_BY_SHAPES[shapes]
+  init_obj_qpos = np.stack([env.get_joint_qpos(j) for j in obj_joints])
   init_mocap = np.concatenate([env.d.mocap_pos[0], env.d.mocap_quat[0]])
   init_qpos = env.d.qpos.copy()
 
@@ -258,7 +275,7 @@ def main(out_path, shapes='pad2-cube2', seed=0):
   # per-joint object position trace (engine-agnostic drift metric: qpos
   # layouts match only joint-by-joint)
   obj_pos_trace = np.stack(
-      [[q[env.jnt_qpos_idx(j):env.jnt_qpos_idx(j) + 3] for j in OBJ_JOINTS]
+      [[q[env.jnt_qpos_idx(j):env.jnt_qpos_idx(j) + 3] for j in obj_joints]
        for q in qpos_trace])  # [T, n_obj, 3]
 
   obj = env.site_pos('object0')
@@ -277,7 +294,7 @@ def main(out_path, shapes='pad2-cube2', seed=0):
       shapes=np.str_(shapes),
       task_object=np.str_('object0'),
       task_goal=np.str_('goal0'),
-      obj_joint_names=np.asarray(OBJ_JOINTS),
+      obj_joint_names=np.asarray(obj_joints),
       init_obj_qpos=init_obj_qpos.astype(np.float32),
       init_mocap_qpos=init_mocap.astype(np.float32),
       init_qpos=init_qpos.astype(np.float32),

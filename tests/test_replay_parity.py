@@ -22,7 +22,8 @@ from geeco_tpu.envs.base import ResetSpec, make_env
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            'fixtures')
 FIXTURES = ('mujoco_pickplace_pad2cube2.npz',
-            'mujoco_pushing_pushpad2cube2.npz')
+            'mujoco_pushing_pushpad2cube2.npz',
+            'mujoco_pickplace_pad2cube2clutter4.npz')
 
 
 @pytest.fixture(scope='module', params=FIXTURES)
@@ -75,8 +76,14 @@ def test_mujoco_replay_trajectory_drift_bounded(replayed):
   along the WHOLE episode, not just end near the goal (measured r2:
   max drift 9.2 mm pick / 19 mm push; untouched objects <= 0.1 mm)."""
   env, es_f, obj_trace, fx = replayed
-  drift = np.linalg.norm(obj_trace - fx['obj_pos_trace'], axis=-1)
+  mj = fx['obj_pos_trace']
+  drift = np.linalg.norm(obj_trace - mj, axis=-1)
   per_obj = drift.max(axis=0)     # [n_obj]
+  # objects MuJoCo itself shows moving (manipulated or brushed) get the
+  # loose bound; objects static in the MuJoCo trace must stay static here
+  moved = np.linalg.norm(mj - mj[:1], axis=-1).max(axis=0) > 0.005
   assert per_obj[0] < 0.03, f'task object drift {per_obj[0]:.4f}'
-  # objects the expert never touches must not move differently at all
-  assert per_obj[1:].max() < 0.005, f'bystander drift {per_obj[1:]}'
+  assert per_obj[moved].max() < 0.03, f'moved-object drift {per_obj[moved]}'
+  static = per_obj[~moved]
+  if static.size:
+    assert static.max() < 0.005, f'static-object drift {static}'
