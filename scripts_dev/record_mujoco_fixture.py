@@ -46,6 +46,7 @@ OBJ_JOINTS_BY_SHAPES = {
     'push-pad2-cube2': PICK_JOINTS,
     'pad2-cube2-clutter4': PICK_JOINTS + tuple(
         f'clutter{i}:joint' for i in range(4)),
+    'nut-cone': PICK_JOINTS,
 }
 
 
@@ -213,6 +214,7 @@ def run_push_expert(env, task_object='object0', task_goal='goal0'):
 # robot reset anchor (pickplace.py:57, pushing.py:450)
 ROBOT_XPOS0 = {'pad2-cube2': None,           # setup() already parks there
                'pad2-cube2-clutter4': None,
+               'nut-cone': None,
                'push-pad2-cube2': np.array([1.3419, 0.7491, 0.8])}
 
 # fixed in-grid spawn positions per scene (envs/base.py SPAWN_DIMS cells;
@@ -225,6 +227,11 @@ SPAWN_XY = {
     'push-pad2-cube2': {
         'object0:joint': (1.23125, 0.75), 'object1:joint': (1.34375, 0.5833),
         'goal0:joint': (1.35625, 0.9167), 'goal1:joint': (1.46875, 0.75),
+    },
+    # nut-cone: 3x6 grid cells; nuts = object0/1, cones = goal0/1
+    'nut-cone': {
+        'object0:joint': (1.25, 0.55), 'object1:joint': (1.1333, 0.8167),
+        'goal0:joint': (1.3667, 0.6833), 'goal1:joint': (1.25, 0.95),
     },
     # clutter4: 4x7 grid cells (envs/base.py SPAWN_DIMS), distinct cells
     'pad2-cube2-clutter4': {

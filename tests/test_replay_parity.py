@@ -23,7 +23,8 @@ FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            'fixtures')
 FIXTURES = ('mujoco_pickplace_pad2cube2.npz',
             'mujoco_pushing_pushpad2cube2.npz',
-            'mujoco_pickplace_pad2cube2clutter4.npz')
+            'mujoco_pickplace_pad2cube2clutter4.npz',
+            'mujoco_pickplace_nutcone.npz')
 
 
 @pytest.fixture(scope='module', params=FIXTURES)
@@ -86,4 +87,8 @@ def test_mujoco_replay_trajectory_drift_bounded(replayed):
   assert per_obj[moved].max() < 0.03, f'moved-object drift {per_obj[moved]}'
   static = per_obj[~moved]
   if static.size:
-    assert static.max() < 0.005, f'static-object drift {static}'
+    # mesh scenes: decimated convex hulls rest ~2 mm off the exact mesh
+    # pose and creep ~9 mm over 100 steps (measured r2, second nut);
+    # primitive-geom scenes hold static objects to well under 5 mm
+    bound = 0.02 if env.shapes in ('nut-cone', 'ball-cup') else 0.005
+    assert static.max() < bound, f'static-object drift {static}'
