@@ -41,6 +41,8 @@ def main():
   p.add_argument('--batch', type=int, default=64)
   p.add_argument('--seed', type=int, default=7)
   p.add_argument('--out', type=str, default='EXPERT_GATE_r2.json')
+  p.add_argument('--solver_iters', type=int, default=None,
+                 help='override env solver_iterations (default-flip gate)')
   args = p.parse_args()
 
   import jax
@@ -54,7 +56,9 @@ def main():
   results = {}
   for scene, n_eps in plan.items():
     t0 = time.time()
-    env = make_env(scene, frame_res=(64, 64))
+    env_kwargs = ({'solver_iterations': args.solver_iters}
+                  if args.solver_iters else {})
+    env = make_env(scene, frame_res=(64, 64), **env_kwargs)
     env.setup()
     expert = make_expert(env)
 
