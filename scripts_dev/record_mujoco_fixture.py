@@ -47,6 +47,7 @@ OBJ_JOINTS_BY_SHAPES = {
     'pad2-cube2-clutter4': PICK_JOINTS + tuple(
         f'clutter{i}:joint' for i in range(4)),
     'nut-cone': PICK_JOINTS,
+    'ball-cup': PICK_JOINTS,
 }
 
 
@@ -215,6 +216,7 @@ def run_push_expert(env, task_object='object0', task_goal='goal0'):
 ROBOT_XPOS0 = {'pad2-cube2': None,           # setup() already parks there
                'pad2-cube2-clutter4': None,
                'nut-cone': None,
+               'ball-cup': None,
                'push-pad2-cube2': np.array([1.3419, 0.7491, 0.8])}
 
 # fixed in-grid spawn positions per scene (envs/base.py SPAWN_DIMS cells;
@@ -230,6 +232,11 @@ SPAWN_XY = {
     },
     # nut-cone: 3x6 grid cells; nuts = object0/1, cones = goal0/1
     'nut-cone': {
+        'object0:joint': (1.25, 0.55), 'object1:joint': (1.1333, 0.8167),
+        'goal0:joint': (1.3667, 0.6833), 'goal1:joint': (1.25, 0.95),
+    },
+    # ball-cup: same 3x6 grid as nut-cone; balls = object0/1, cups = goal0/1
+    'ball-cup': {
         'object0:joint': (1.25, 0.55), 'object1:joint': (1.1333, 0.8167),
         'goal0:joint': (1.3667, 0.6833), 'goal1:joint': (1.25, 0.95),
     },

@@ -24,7 +24,8 @@ FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 FIXTURES = ('mujoco_pickplace_pad2cube2.npz',
             'mujoco_pushing_pushpad2cube2.npz',
             'mujoco_pickplace_pad2cube2clutter4.npz',
-            'mujoco_pickplace_nutcone.npz')
+            'mujoco_pickplace_nutcone.npz',
+            'mujoco_pickplace_ballcup.npz')
 
 
 @pytest.fixture(scope='module', params=FIXTURES)
