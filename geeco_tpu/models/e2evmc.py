@@ -104,21 +104,26 @@ class LSTMDecoder(nn.Module):
     for feat in feat_list:
       carry, out = cell(carry, feat)
     net = nn.relu(nn.Dense(cfg.dim_h_fc, name='fc1')(out))
+    # zero-init head kernels: initial predictions are exactly 0 so the
+    # first-step loss is the target variance (~1), not ~26 — the huge
+    # early gradients of default-init heads through the 3k-dim feature
+    # concat drove every upstream ReLU dead (catastrophic collapse to a
+    # constant predictor; observed at step-15k: output exactly
+    # input-independent).  Clipping in train.py guards the rest of the run.
+    head = lambda d, name: nn.Dense(d, name=name,
+                                    kernel_init=nn.initializers.zeros)
     ep: Dict[str, jax.Array] = {}
     if cfg.control_mode == 'cartesian':
-      ep['pred_cmd_ee'] = nn.Dense(3, name='pred_cmd_ee')(net)
-      ep['logits_cmd_grp'] = nn.Dense(cfg.num_grp_states,
-                                      name='logits_cmd_grp')(net)
+      ep['pred_cmd_ee'] = head(3, 'pred_cmd_ee')(net)
+      ep['logits_cmd_grp'] = head(cfg.num_grp_states, 'logits_cmd_grp')(net)
     elif cfg.control_mode == 'velocity':
-      ep['pred_cmd_vel'] = nn.Dense(cfg.dim_jnt_state,
-                                    name='pred_cmd_vel')(net)
-      ep['pred_cmd_ee'] = nn.Dense(3, name='pred_cmd_ee')(net)
-      ep['pred_cmd_grp'] = nn.Dense(cfg.dim_grp_command,
-                                    name='pred_cmd_grp')(net)
+      ep['pred_cmd_vel'] = head(cfg.dim_jnt_state, 'pred_cmd_vel')(net)
+      ep['pred_cmd_ee'] = head(3, 'pred_cmd_ee')(net)
+      ep['pred_cmd_grp'] = head(cfg.dim_grp_command, 'pred_cmd_grp')(net)
     else:
       raise ValueError(f'unknown control mode {cfg.control_mode}')
-    ep['pred_aux_ee'] = nn.Dense(3, name='pred_aux_ee')(net)
-    ep['pred_aux_obj'] = nn.Dense(3, name='pred_aux_obj')(net)
+    ep['pred_aux_ee'] = head(3, 'pred_aux_ee')(net)
+    ep['pred_aux_obj'] = head(3, 'pred_aux_obj')(net)
     return ep, carry
 
 

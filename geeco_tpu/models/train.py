@@ -101,7 +101,11 @@ def tgt_frame(config: E2EVMCConfig, feature: Dict) -> jax.Array:
 def make_train_fns(config: E2EVMCConfig, goal_conditioned: bool):
   """Returns (init_fn, train_step, eval_step, apply_fn)."""
   model = make_model(config, goal_conditioned)
-  tx = optax.adam(config.lr)
+  # global-norm clipping: outlier batches (episode boundaries, fast-motion
+  # windows) spiked the unclipped loss to ~26-29 and collapsed the network
+  # into a dead-ReLU constant predictor; the reference's TF1 Adam survived
+  # by luck of init (estimator.py:104-106 has no clipping either).
+  tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(config.lr))
 
   def apply(params, feature, carry, reset):
     frames = obs_frames(config, feature)
