@@ -145,7 +145,8 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
                      goal_conditioned: bool, rngs, tgt_frames=None,
                      n_steps: int = 200, es0=None,
                      step_textures=None,
-                     carry_mode: str = 'window') -> Dict[str, jax.Array]:
+                     carry_mode: str = 'window',
+                     mesh=None) -> Dict[str, jax.Array]:
   """Reset + closed-loop rollout for a batch of envs; returns metrics.
 
   One batched policy+env step is jit-compiled and iterated from the host
@@ -166,6 +167,10 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
 
   batched = jax.jit(jax.vmap(step_fn, in_axes=(None, 0, 0, 0, None)))
   ps = jax.tree.map(lambda x: jnp.stack([x] * B), init_policy_state(config))
+  if mesh is not None:  # shard the env batch over a 1-d device mesh
+    from ..parallel.mesh import shard_env_batch
+    es, ps, tgt_frames = (shard_env_batch(x, mesh)
+                          for x in (es, ps, tgt_frames))
 
   agg = {
       'obj_vicinity': jnp.zeros(B), 'grasp_success': jnp.zeros(B),

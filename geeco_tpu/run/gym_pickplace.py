@@ -52,6 +52,9 @@ ARGPARSER.add_argument('--rendering_mode', type=str, default='tfrecord',
                        help='video | tfrecord')
 ARGPARSER.add_argument('--frame_res', type=int, nargs=2, default=[256, 256])
 ARGPARSER.add_argument('--observation_format', type=str, default='rgb')
+ARGPARSER.add_argument('--num_devices', type=int, default=1,
+                       help='shard the env batch over this many devices '
+                            '(1-d data mesh; num_envs must divide evenly)')
 ARGPARSER.add_argument('--num_envs', type=int, default=1,
                        help='TPU extension: vectorized env batch')
 ARGPARSER.add_argument('--seed', type=int, default=0)

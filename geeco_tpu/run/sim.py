@@ -77,6 +77,32 @@ def _load_specs(env, args):
   return None
 
 
+
+
+def _env_mesh(args):
+  """1-d device mesh for env-batch sharding (--num_devices > 1).
+
+  Physics + render are embarrassingly parallel per env (SURVEY.md §5.8),
+  so sharding the batch axis introduces no cross-chip traffic inside the
+  step; XLA partitions the jitted rollout SPMD over the mesh.
+  """
+  n = getattr(args, 'num_devices', 1)
+  if n <= 1:
+    return None
+  from ..parallel.mesh import make_mesh
+  B = max(1, args.num_envs)
+  if B % n:
+    raise SystemExit(f'--num_envs {B} not divisible by --num_devices {n}')
+  return make_mesh(n)
+
+
+def _shard(es, mesh):
+  if mesh is None:
+    return es
+  from ..parallel.mesh import shard_env_batch
+  return shard_env_batch(es, mesh)
+
+
 # ---------------------------------------------------------------- collect
 
 
@@ -106,6 +132,7 @@ def run_collect(args):
 
   env.setup()
   B = max(1, args.num_envs)
+  mesh = _env_mesh(args)
 
   reset_random_batch = jax.jit(jax.vmap(env.reset_random))
   reset_to_batch = jax.jit(jax.vmap(env.reset_to))
@@ -146,6 +173,7 @@ def run_collect(args):
       es = reset_to_batch(spec_chunk, rngs)
     else:
       es = reset_random_batch(rngs)
+    es = _shard(es, mesh)
     if args.dry_run:  # save initial configuration images only
       rgb, _ = jax.jit(jax.vmap(env.render))(es)
       from PIL import Image
@@ -344,6 +372,7 @@ def run_controller_batched(args):
   config, params = predictor.cfg, predictor.params
 
   B = args.num_envs
+  mesh = _env_mesh(args)
   n_eps = args.end_idx - args.start_idx
   specs = tgt_all = tgt_depth_all = None
   if args.dataset_dir:
@@ -374,7 +403,7 @@ def run_controller_batched(args):
     if specs is not None:
       idx = np.minimum(np.arange(chunk, chunk + B), n_eps - 1)
       spec_chunk = jax.tree.map(lambda x: x[jnp.asarray(idx)], specs)
-      es0 = reset_to_batch(spec_chunk, rngs)
+      es0 = _shard(reset_to_batch(spec_chunk, rngs), mesh)
       tgt = jnp.asarray(tgt_all[idx])
       if config.img_channels == 4:
         if tgt_depth_all is not None:
@@ -391,13 +420,13 @@ def run_controller_batched(args):
                              tgt_frames=tgt, n_steps=episode_steps,
                              es0=es0, step_textures=step_textures,
                              carry_mode=getattr(args, 'carry_mode',
-                                                'window'))
+                                                'window'), mesh=mesh)
     else:
       agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
                              n_steps=episode_steps,
                              step_textures=step_textures,
                              carry_mode=getattr(args, 'carry_mode',
-                                                'window'))
+                                                'window'), mesh=mesh)
     agg = {k: np.asarray(v) for k, v in agg.items()}
     for k in range(n):
       rows.append({

@@ -34,3 +34,27 @@ def test_closed_loop_batched_eval():
   # goal distances are positive and bounded
   assert float(agg['min_goal_dist'].min()) >= 0.0
   assert float(agg['max_goal_dist'].max()) < 2.0
+
+
+@pytest.mark.slow
+def test_closed_loop_eval_sharded_mesh():
+  # Same tiny rollout sharded over the virtual 8-device CPU mesh
+  # (conftest) via evaluate_batched(mesh=...) — the --num_devices path of
+  # the controller CLI (run/sim.py).  Env batch 8 -> 1 env per device.
+  from geeco_tpu.parallel.mesh import make_mesh
+  config = create_e2evmc_config({
+      'img_height': 32, 'img_width': 32, 'proc_obs': 'dynimg',
+      'proc_tgt': 'dyndiff', 'dim_s_obs': 8, 'dim_s_dyn': 8,
+      'dim_s_diff': 8, 'dim_h_lstm': 8, 'dim_h_fc': 8,
+      'window_size': 2, 'compute_dtype': 'float32'})
+  env = GeecoEnv(shapes='pad1-cube1', frame_res=(32, 32), settle_steps=1,
+                 n_substeps=4, solver_iterations=8)
+  init_fn, _, _, _ = make_train_fns(config, goal_conditioned=True)
+  ts = init_fn(jax.random.PRNGKey(0), batch_size=1)
+  mesh = make_mesh(8)
+  rngs = jax.random.split(jax.random.PRNGKey(1), 8)
+  agg = evaluate_batched(env, config, ts.params, True, rngs, n_steps=2,
+                         mesh=mesh)
+  assert agg['task_success'].shape == (8,)
+  for k, v in agg.items():
+    assert np.isfinite(np.asarray(v)).all(), k
