@@ -162,7 +162,7 @@ class GeecoEnv:
   def __init__(self, shapes: str = 'pad2-cube2', frame_res=(256, 256),
                asset_root: str = ASSET_ROOT, n_substeps: int = 20,
                settle_steps: int = 10, solver_iterations: int = 60,
-               solver_method: str = 'psd',
+               solver_method: str = 'psd', hysteresis: float = 0.0,
                contact_select_k: Optional[int] = None,
                renderer_kwargs: Optional[dict] = None):
     import os
@@ -181,6 +181,7 @@ class GeecoEnv:
     self.stepper = build_stepper(self.model,
                                  contact_select_k=contact_select_k)
     self.solver_method = solver_method
+    self.hysteresis = hysteresis
     h, w = frame_res
     self.renderer = build_renderer(self.model, self.assets, width=w,
                                    height=h, **(renderer_kwargs or {}))
@@ -280,7 +281,8 @@ class GeecoEnv:
       def body(s, _):
         return self.stepper.step(s, self.n_substeps,
                                  self.solver_iterations,
-                                 solver_method=self.solver_method), None
+                                 solver_method=self.solver_method,
+                                 hysteresis=self.hysteresis), None
       s, _ = jax.lax.scan(body, s, None, length=self.settle_steps)
       return s
 
@@ -317,7 +319,8 @@ class GeecoEnv:
     def body(s, _):
       return self.stepper.step(s, self.n_substeps,
                                self.solver_iterations,
-                               solver_method=self.solver_method), None
+                               solver_method=self.solver_method,
+                               hysteresis=self.hysteresis), None
     phys, _ = jax.lax.scan(body, phys, None, length=self.settle_steps)
     return phys
 
@@ -394,7 +397,8 @@ class GeecoEnv:
     phys = phys.replace(ctrl=ctrl, mocap_pos=mocap_pos[None],
                         mocap_quat=mocap_quat[None])
     phys = self.stepper.step(phys, self.n_substeps, self.solver_iterations,
-                             solver_method=self.solver_method)
+                             solver_method=self.solver_method,
+                             hysteresis=self.hysteresis)
     return es.replace(phys=phys, ts=es.ts + 1)
 
   # ------------------------------------------------------------- readouts

@@ -196,7 +196,8 @@ def _tangent_frame(n: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
                      contacts: C.Contacts, state: State,
-                     anc_mask: np.ndarray) -> Constraints:
+                     anc_mask: np.ndarray,
+                     hysteresis: float = 0.0) -> Constraints:
   info = smooth.info
   nv = model.nv
   J_rows, aref_rows, d_rows, active_rows, invw_rows = [], [], [], [], []
@@ -211,7 +212,17 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
   # K deepest candidates and solve only those (TPU-native active set).
   if cs.ncon:
     K = cs.ncon_sel
-    _, sel_idx = jax.lax.top_k(-contacts.dist, K)
+    score = contacts.dist
+    if hysteresis > 0.0 and state.efc_force is not None:
+      # Set-membership hysteresis: contacts that carried normal force last
+      # substep get a depth bonus so active-set COMPOSITION is sticky.  The
+      # depth ranking alone lets robot-row depth churn evict/readmit rest
+      # contacts every substep; with the solver's global line search this
+      # couples into micro-impulses that make resting bodies creep (see
+      # STATUS.md "hull rest creep").  Full-layout group 0 = normal rows.
+      warm_n = jax.lax.stop_gradient(state.efc_force[:cs.ncon])
+      score = score - hysteresis * (warm_n > 0.0).astype(score.dtype)
+    _, sel_idx = jax.lax.top_k(-score, K)
     pts = contacts.pos[sel_idx]
     n = contacts.normal[sel_idx]
     dist = contacts.dist[sel_idx]

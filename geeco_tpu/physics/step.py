@@ -38,13 +38,14 @@ class Stepper(NamedTuple):
     return K.fk(self.model, state)
 
   def substep(self, state: State, solver_iterations: int = 60,
-              solver_method: str = 'psd', solver_unroll: int = 1) -> State:
+              solver_method: str = 'psd', solver_unroll: int = 1,
+              hysteresis: float = 0.0) -> State:
     model = self.model
     dt = model.opt.timestep
     smooth = D.smooth_dynamics(model, state, self.anc_mask, dt)
     contacts = C.collide(model, smooth.kin)
     con = S.make_constraints(model, self.cs, smooth, contacts, state,
-                             self.anc_mask)
+                             self.anc_mask, hysteresis=hysteresis)
     f, qacc = S.solve(model, self.cs, smooth, con, state.efc_force,
                       iterations=solver_iterations, method=solver_method,
                       unroll=solver_unroll)
@@ -55,10 +56,11 @@ class Stepper(NamedTuple):
 
   def step(self, state: State, n_substeps: int = 20,
            solver_iterations: int = 60, unroll: int = 1,
-           solver_method: str = 'psd', solver_unroll: int = 1) -> State:
+           solver_method: str = 'psd', solver_unroll: int = 1,
+           hysteresis: float = 0.0) -> State:
     def body(s, _):
       return self.substep(s, solver_iterations, solver_method,
-                          solver_unroll), None
+                          solver_unroll, hysteresis), None
     state, _ = jax.lax.scan(body, state, None, length=n_substeps,
                             unroll=unroll)
     return state
