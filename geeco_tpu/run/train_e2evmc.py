@@ -44,9 +44,21 @@ ARGPARSER.add_argument('--log_steps', type=int, default=100)
 ARGPARSER.add_argument('--num_devices', type=int, default=1)
 ARGPARSER.add_argument('--seed', type=int, default=0)
 ARGPARSER.add_argument('--max_steps_per_epoch', type=int, default=-1)
+ARGPARSER.add_argument('--max_rss_gb', type=float, default=100.0,
+                       help='checkpoint and exit(3) when host RSS exceeds '
+                            'this (the axon relay leaks transfer buffers; '
+                            'a watchdog restart resumes from the latest '
+                            'checkpoint instead of losing steps to the '
+                            'kernel OOM killer)')
+
+
+def _rss_gb() -> float:
+  with open('/proc/self/statm') as fp:
+    return int(fp.read().split()[1]) * os.sysconf('SC_PAGE_SIZE') / 2**30
 
 
 def main(args):
+  import gc
   import jax
   import jax.numpy as jnp
   from ..data.dataset import input_pipeline
@@ -126,11 +138,22 @@ def main(args):
       global_step += 1
       n_steps += 1
       if global_step % args.log_steps == 0:
+        gc.collect()
         rec = {k: float(v) for k, v in m.items()}
-        rec.update(step=global_step, epoch=epoch, split='train')
+        rec.update(step=global_step, epoch=epoch, split='train',
+                   rss_gb=round(_rss_gb(), 2))
         metrics_log.write(json.dumps(rec) + '\n')
         metrics_log.flush()
-        print(f'step {global_step}: loss={rec["loss"]:.5f}')
+        print(f'step {global_step}: loss={rec["loss"]:.5f} '
+              f'rss={rec["rss_gb"]:.1f}G')
+        if rec['rss_gb'] > args.max_rss_gb:
+          snapshots.save_checkpoint(args.model_dir, global_step, ts.params,
+                                    keep_last=args.num_last_ckpt)
+          metrics_log.close()
+          print(f'>>> RSS {rec["rss_gb"]:.1f} GiB > --max_rss_gb '
+                f'{args.max_rss_gb}; checkpointed at step {global_step}, '
+                'exiting 3 for the watchdog to restart')
+          raise SystemExit(3)
       if global_step % args.ckpt_steps == 0:
         snapshots.save_checkpoint(args.model_dir, global_step, ts.params,
                                   keep_last=args.num_last_ckpt)
