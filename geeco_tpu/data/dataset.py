@@ -180,6 +180,118 @@ def episode_windows(path: str, window_size: int = 4,
   return prepare(win, fetch_target)
 
 
+# ------------------------------------------------------ episode batches
+
+
+def episode_pipeline(dataset_dir: str, split_name: str, mode: str,
+                     batch_episodes: int = 8, window_size: int = 4,
+                     fetch_target: bool = False, num_epochs: int = 1,
+                     shuffle: bool = True, seed: Optional[int] = None,
+                     with_depth: bool = False,
+                     pad_start: bool = True,
+                     prefetch: bool = True) -> Iterator[Dict]:
+  """Whole-episode batches for the episode-scan training path
+  (models/train.py::make_episode_train_fns — see there for the layout).
+
+  One yielded batch = ``batch_episodes`` episodes: the uint8 frame slabs
+  ship once ([B, F, H, W, 3]); windows are index matrices shared across
+  the batch (all episodes have the reference's fixed length,
+  pickplace.py:157). Gradient steps thus average over every task phase.
+  """
+  rng = np.random.RandomState(seed)
+  paths = list_records(dataset_dir, split_name, mode)
+  if not paths:
+    raise FileNotFoundError(
+        f'no records for {dataset_dir} split={split_name} mode={mode}')
+  B = batch_episodes
+
+  def episode_order():
+    for _ in range(num_epochs):
+      order = rng.permutation(len(paths)) if shuffle \
+          else np.arange(len(paths))
+      for pi in order:
+        yield paths[pi]
+
+  def load_iter():
+    for path in episode_order():
+      yield _lazy_episode(path, fetch_target)
+
+  if prefetch:
+    import queue as _queue
+    import threading
+    q: '_queue.Queue' = _queue.Queue(maxsize=2 * B)
+    _SENTINEL = object()
+
+    def producer():
+      try:
+        for item in load_iter():
+          q.put(item)
+      finally:
+        q.put(_SENTINEL)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    def consume():
+      while True:
+        item = q.get()
+        if item is _SENTINEL:
+          return
+        yield item
+    episodes = consume()
+  else:
+    episodes = load_iter()
+
+  K = window_size
+  group: List = []
+  for item in episodes:
+    group.append(item)
+    if len(group) < B:
+      continue
+    yield _assemble_episode_batch(group, K, fetch_target, with_depth,
+                                  pad_start)
+    group = []
+  # remainder dropped (fixed-shape batches keep the step jit-compiled once)
+
+
+def _assemble_episode_batch(group, K: int, fetch_target: bool,
+                            with_depth: bool, pad_start: bool) -> Dict:
+  smalls = [g[0] for g in group]
+  T = smalls[0]['step'].shape[0]  # droplast length (episode_length - 1)
+  assert all(s['step'].shape[0] == T for s in smalls), \
+      'episode-scan batches require equal-length episodes'
+  widx = window_indices(T, K, pad_start=pad_start).astype(np.int32)
+  N = widx.shape[0]
+  last = widx[:, -1]
+
+  batch: Dict[str, np.ndarray] = {
+      'widx': widx,
+      'valid': np.ones((N,), bool),
+      'jnt_state': np.stack([s['jnt_state'] for s in smalls]),
+      'cmd': np.stack([s['cmd'][last] for s in smalls]),
+      'vel_target': np.stack([s['vel_target'][last] for s in smalls]),
+      'ee_target': np.stack([s['ee_target'][last] for s in smalls]),
+      'grp_target': np.stack([s['grp_target'][last] for s in smalls]),
+      'pos_ee': np.stack([s['ee_state'][last][:, :3] for s in smalls]),
+      'pos_obj': np.stack([s['obj_state'][last][:, :3] for s in smalls]),
+      'step': np.stack([s['step'][last] for s in smalls]).astype(np.int32),
+  }
+  rgb0 = group[0][1]
+  if rgb0 is not None:
+    # frames [B, T, H, W, 3] uint8 — windows index 0..T-1; the target
+    # frame is the episode's TRUE last frame (index T of the undropped
+    # buffer, _parse_v4 fetch_target semantics)
+    batch['frames'] = np.stack([g[1][:T] for g in group])
+    if with_depth:
+      d = np.stack([np.asarray(g[2][:T], np.float32) for g in group])
+      batch['depth'] = d[..., None] if d.ndim == 4 else d
+    if fetch_target:
+      batch['target_rgb'] = np.stack([g[1][-1] for g in group])
+      if with_depth:
+        td = np.stack([np.asarray(g[2][-1], np.float32) for g in group])
+        batch['target_depth'] = td[..., None] if td.ndim == 3 else td
+  return batch
+
+
 # -------------------------------------------------------------- iterator
 
 

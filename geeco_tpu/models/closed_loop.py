@@ -44,19 +44,21 @@ def init_policy_state(config: E2EVMCConfig) -> PolicyState:
 
 
 def make_closed_loop(env: GeecoEnv, config: E2EVMCConfig,
-                     goal_conditioned: bool, carry_mode: str = 'window'):
+                     goal_conditioned: bool,
+                     carry_mode: str = 'persistent'):
   """Returns rollout_fn(params, es, tgt_frame, n_steps) -> (es_f, aux).
 
   The per-step policy+env transition is compiled once; vmap over envs and
   feed per-env target frames for the goal-conditioned variant.
 
-  carry_mode: 'window' (default) re-zeros the LSTM carry every control
-  step, so each forward sees exactly what training saw — a fresh carry
-  over a window_size window (train.py resets on any step-0 window in the
-  batch, so trained carries never accumulate across an episode; measured
-  4x lower open-loop action error vs accumulating).  'persistent' keeps
-  the reference predictor's accumulate-across-steps behavior
-  (src/models/e2evmc/predictor.py:127-200) for parity experiments.
+  carry_mode: 'persistent' (default) accumulates the LSTM carry across
+  control steps like the reference predictor
+  (src/models/e2evmc/predictor.py:127-200) — this matches the
+  episode-scan training path, which BPTTs the carry through consecutive
+  stride-1 windows exactly as served. 'window' re-zeros the carry every
+  step; it matches the legacy window-batch training path (whose trained
+  carries never accumulate meaningfully: measured 4x lower open-loop
+  action error with a fresh carry under that path).
   """
   model = make_model(config, goal_conditioned)
 
@@ -145,7 +147,7 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
                      goal_conditioned: bool, rngs, tgt_frames=None,
                      n_steps: int = 200, es0=None,
                      step_textures=None,
-                     carry_mode: str = 'window',
+                     carry_mode: str = 'persistent',
                      mesh=None) -> Dict[str, jax.Array]:
   """Reset + closed-loop rollout for a batch of envs; returns metrics.
 

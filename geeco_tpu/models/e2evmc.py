@@ -128,46 +128,73 @@ class LSTMDecoder(nn.Module):
 
 
 class E2EVMC(nn.Module):
-  """Unconditional reflex (reference e2e_vmc, graph.py:268-319)."""
+  """Unconditional reflex (reference e2e_vmc, graph.py:268-319).
+
+  ``window_features`` (pure conv work, no recurrence) and ``decode`` (LSTM +
+  heads) are exposed separately so the training loop can batch all window
+  encodings into large MXU-friendly conv passes and scan only the tiny LSTM
+  over the window sequence (models/train.py episode-scan path).
+  """
   config: E2EVMCConfig
 
-  @nn.compact
-  def __call__(self, rgb_frames, jnt_states, carry=None,
-               reset: jax.Array = jnp.asarray(True)):
+  def setup(self):
     cfg = self.config
     dtype = jnp.dtype(cfg.compute_dtype)
-    enc = ConvEncoder(cfg.dim_s_obs, dtype=dtype, name='ConvEncoder')
+    self.enc_obs = ConvEncoder(cfg.dim_s_obs, dtype=dtype,
+                               name='ConvEncoder')
+    self.decoder = LSTMDecoder(cfg, name='LSTMDecoder')
+
+  def window_features(self, rgb_frames, jnt_states):
+    """[N, K, H, W, C] frames -> (list of per-step features, extras)."""
     feats = []
-    for k in range(cfg.window_size):
-      f = enc(rgb_frames[:, k])
+    for k in range(self.config.window_size):
+      f = self.enc_obs(rgb_frames[:, k])
       feats.append(_tile_state(f, jnt_states[:, k]))
-    ep, carry = LSTMDecoder(cfg, name='LSTMDecoder')(feats, carry, reset)
+    return feats, {}
+
+  def decode(self, feats, carry, reset):
+    return self.decoder(feats, carry, reset)
+
+  def __call__(self, rgb_frames, jnt_states, carry=None,
+               reset: jax.Array = jnp.asarray(True)):
+    feats, extras = self.window_features(rgb_frames, jnt_states)
+    ep, carry = self.decode(feats, carry, reset)
+    ep = dict(extras, **ep)
     return ep, carry
 
 
 class GoalE2EVMC(nn.Module):
-  """Goal-conditioned reflex (reference goal_e2evmc, graph.py:321-416)."""
+  """Goal-conditioned reflex (reference goal_e2evmc, graph.py:321-416).
+
+  Same ``window_features``/``decode`` split as E2EVMC (see there).
+  """
   config: E2EVMCConfig
 
-  @nn.compact
-  def __call__(self, rgb_frames, jnt_states, tgt_frame, carry=None,
-               reset: jax.Array = jnp.asarray(True)):
+  def setup(self):
     cfg = self.config
     dtype = jnp.dtype(cfg.compute_dtype)
-    ep: Dict[str, jax.Array] = {}
-    enc_obs = ConvEncoder(cfg.dim_s_obs, dtype=dtype, name='ConvEncoder')
+    self.enc_obs = ConvEncoder(cfg.dim_s_obs, dtype=dtype,
+                               name='ConvEncoder')
+    if cfg.proc_obs == 'dynimg':
+      self.enc_dyn = ConvEncoder(cfg.dim_s_dyn, dtype=dtype,
+                                 name='DynBuffEncoder')
+    if cfg.proc_tgt == 'dyndiff':
+      self.enc_diff = ConvEncoder(cfg.dim_s_diff, dtype=dtype,
+                                  name='DynDiffEncoder')
+    self.decoder = LSTMDecoder(cfg, name='LSTMDecoder')
+
+  def window_features(self, rgb_frames, jnt_states, tgt_frame):
+    cfg = self.config
+    extras: Dict[str, jax.Array] = {}
 
     if cfg.proc_tgt in ('constant', 'residual'):
-      tgt_feat = enc_obs(tgt_frame)
+      tgt_feat = self.enc_obs(tgt_frame)
 
     feats = []
     if cfg.proc_obs == 'sequence':
-      enc_diff = ConvEncoder(cfg.dim_s_diff, dtype=dtype,
-                             name='DynDiffEncoder') \
-          if cfg.proc_tgt == 'dyndiff' else None
       for k in range(cfg.window_size):
         frame = rgb_frames[:, k]
-        feat = enc_obs(frame)
+        feat = self.enc_obs(frame)
         if cfg.proc_tgt == 'constant':
           state = _tile_state(
               jnp.concatenate([feat, tgt_feat], -1), jnt_states[:, k])
@@ -176,27 +203,23 @@ class GoalE2EVMC(nn.Module):
         elif cfg.proc_tgt == 'dyndiff':
           seq = jnp.stack([frame, tgt_frame], axis=1)
           dd = dynimg(seq)
-          ep['dyndiff'] = dd
-          tfeat = enc_diff(dd)
+          extras['dyndiff'] = dd
+          tfeat = self.enc_diff(dd)
           state = _tile_state(
               jnp.concatenate([feat, tfeat], -1), jnt_states[:, k])
         else:
           raise ValueError(f'unknown proc_tgt {cfg.proc_tgt}')
         feats.append(state)
     elif cfg.proc_obs == 'dynimg':
-      enc_dyn = ConvEncoder(cfg.dim_s_dyn, dtype=dtype,
-                            name='DynBuffEncoder')
-      enc_diff = ConvEncoder(cfg.dim_s_diff, dtype=dtype,
-                             name='DynDiffEncoder')
       frame = rgb_frames[:, -1]
-      feat = enc_obs(frame)
+      feat = self.enc_obs(frame)
       dyn_buff = dynimg(rgb_frames)
-      ep['dynbuff'] = dyn_buff
-      dyn_feat = enc_dyn(dyn_buff)
+      extras['dynbuff'] = dyn_buff
+      dyn_feat = self.enc_dyn(dyn_buff)
       seq = jnp.stack([frame, tgt_frame], axis=1)
       dyn_diff = dynimg(seq)
-      ep['dyndiff'] = dyn_diff
-      tgt_feat = enc_diff(dyn_diff)
+      extras['dyndiff'] = dyn_diff
+      tgt_feat = self.enc_diff(dyn_diff)
       # representation_concatenation_v2 (graph.py:169-192)
       state = _tile_state(
           jnp.concatenate([feat, dyn_feat, tgt_feat], -1),
@@ -204,9 +227,16 @@ class GoalE2EVMC(nn.Module):
       feats.append(state)
     else:
       raise ValueError(f'unknown proc_obs {cfg.proc_obs}')
+    return feats, extras
 
-    heads, carry = LSTMDecoder(cfg, name='LSTMDecoder')(feats, carry, reset)
-    ep.update(heads)
+  def decode(self, feats, carry, reset):
+    return self.decoder(feats, carry, reset)
+
+  def __call__(self, rgb_frames, jnt_states, tgt_frame, carry=None,
+               reset: jax.Array = jnp.asarray(True)):
+    feats, extras = self.window_features(rgb_frames, jnt_states, tgt_frame)
+    heads, carry = self.decode(feats, carry, reset)
+    ep = dict(extras, **heads)
     return ep, carry
 
 

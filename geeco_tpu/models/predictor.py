@@ -32,12 +32,14 @@ class _BasePredictor:
 
   def __init__(self, model_dir: str, checkpoint_name: Optional[str] = None,
                config: Optional[E2EVMCConfig] = None, params=None,
-               carry_mode: str = 'window'):
-    """carry_mode: 'window' re-zeros the LSTM carry every predict() so the
-    forward matches the training distribution (train.py feeds each window
-    a mostly-fresh carry; accumulating across an episode measured 4x
-    higher open-loop action error); 'persistent' reproduces the reference
-    predictor's accumulate-across-steps behavior (predictor.py:127-200).
+               carry_mode: str = 'persistent'):
+    """carry_mode: 'persistent' (default) accumulates the LSTM carry
+    across predict() calls like the reference predictor
+    (predictor.py:127-200) — it matches the episode-scan training path
+    (models/train.py::make_episode_train_fns), which BPTTs the carry
+    through consecutive stride-1 windows exactly as served. 'window'
+    re-zeros the carry every call, matching the legacy window-batch
+    training path whose carries never accumulate meaningfully.
     """
     if config is None:
       config = load_model_config(os.path.join(model_dir,

@@ -52,6 +52,45 @@ def checkpoint_step(path: str) -> int:
   return int(base.split('-')[1].split('.')[0])
 
 
+# ------------------------------------------------- full train-state ckpts
+
+
+def save_train_state(model_dir: str, step: int, train_state,
+                     keep_last: int = 2) -> str:
+  """Params + optimizer state + step, so a watchdog restart resumes the
+  exact optimization trajectory (a params-only restore silently resets the
+  Adam moments every restart)."""
+  os.makedirs(model_dir, exist_ok=True)
+  payload = {'params': jax.device_get(train_state.params),
+             'opt_state': jax.device_get(train_state.opt_state),
+             'step': int(train_state.step)}
+  path = os.path.join(model_dir, f'state-{step:08d}.msgpack')
+  with open(path, 'wb') as f:
+    f.write(serialization.to_bytes(payload))
+  states = sorted(glob.glob(os.path.join(model_dir, 'state-*.msgpack')))
+  for old in states[:-keep_last]:
+    os.remove(old)
+  return path
+
+
+def latest_train_state(model_dir: str) -> Optional[str]:
+  states = sorted(glob.glob(os.path.join(model_dir, 'state-*.msgpack')))
+  return states[-1] if states else None
+
+
+def restore_train_state(path: str, train_state):
+  """Restore a TrainState template saved by save_train_state."""
+  template = {'params': jax.device_get(train_state.params),
+              'opt_state': jax.device_get(train_state.opt_state),
+              'step': 0}
+  with open(path, 'rb') as f:
+    payload = serialization.from_bytes(template, f.read())
+  import jax.numpy as jnp
+  return train_state.replace(
+      params=payload['params'], opt_state=payload['opt_state'],
+      step=jnp.asarray(payload['step'], jnp.int32))
+
+
 # ------------------------------------------------------------- snapshots
 
 

@@ -173,9 +173,15 @@ def make_train_fns(config: E2EVMCConfig, goal_conditioned: bool):
                       lstm_carry=init_lstm_carry(config, n),
                       step=jnp.zeros((), jnp.int32))
 
+  def _reset_flag(step):
+    # window contains the episode start (estimator.py:41-42 uses
+    # prod(step)==0; jnp.any(step==0) is the same predicate without the
+    # int64 overflow a 128-element product incurs)
+    return jnp.any(step == 0)
+
   def train_step(ts: TrainState, feature: Dict, label: Dict
                  ) -> Tuple[TrainState, Dict]:
-    reset = jnp.prod(feature['step']) == 0
+    reset = _reset_flag(feature['step'])
 
     def lf(params):
       ep, carry = apply(params, feature, ts.lstm_carry, reset)
@@ -196,7 +202,7 @@ def make_train_fns(config: E2EVMCConfig, goal_conditioned: bool):
                       step=ts.step + 1), metrics
 
   def eval_step(ts: TrainState, feature: Dict, label: Dict) -> Dict:
-    reset = jnp.prod(feature['step']) == 0
+    reset = _reset_flag(feature['step'])
     ep, _ = apply(ts.params, feature, ts.lstm_carry, reset)
     tgt = targets_of(feature, label)
     loss, parts = loss_of(ep, tgt)
@@ -212,6 +218,194 @@ def make_train_fns(config: E2EVMCConfig, goal_conditioned: bool):
     return metrics
 
   return init_fn, train_step, eval_step, apply
+
+
+# ------------------------------------------------------- episode-scan path
+
+
+def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
+                           chunk_windows: int = 8):
+  """Train/eval steps over whole-episode batches (the TPU-native path).
+
+  The reference pipeline batches 32 CONSECUTIVE windows of one episode
+  (geeco_gym.py:465-472; the element-level shuffle is commented out at
+  :447-448), so every optimizer step sees near-identical labels — online
+  SGD on maximally-correlated batches. TF-1's init survived that by luck;
+  here it reliably collapsed the network into a constant predictor
+  (round-2 run: 91k steps, eval loss frozen at init value, output
+  batch-std exactly 0 on every head).
+
+  This path restructures the same data TPU-first instead:
+    * a batch = B whole episodes; every gradient step averages ALL task
+      phases (balanced gradient, no catastrophic interference);
+    * all conv encodings are carry-independent, so they run as large
+      batched MXU passes (lax.map over window chunks, rematerialized);
+    * only the tiny LSTM cell scans over the window sequence — true BPTT
+      with exactly the serving carry semantics (the predictor carries
+      (c,h) across consecutive stride-1 windows, predictor.py:192-200).
+
+  Batch layout (produced by data/dataset.py::episode_pipeline):
+    frames       [B, F, H, W, 3] uint8   (F = T-1 frames after droplast)
+    depth        [B, F, H, W, 1] f32     (img_channels == 4 only)
+    target_rgb   [B, H, W, 3]   uint8    (goal-conditioned only)
+    target_depth [B, H, W, 1]   f32      (goal + rgbd only)
+    jnt_state    [B, F, J]      f32
+    widx         [N, K] int32            (shared window index matrix)
+    valid        [N] bool                (False on chunk padding rows)
+    labels: cmd [B,N,4] vel_target [B,N,J] ee_target [B,N,7]
+            grp_target [B,N,2] pos_ee [B,N,3] pos_obj [B,N,3]
+  """
+  model = make_model(config, goal_conditioned)
+  tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(config.lr))
+  C = chunk_windows
+
+  def _frames_of(batch, idx):
+    """Gather window frames [B, n, K, H, W, C] in [0,1] float."""
+    rgb = _norm_rgb(batch['frames'][:, idx])
+    if config.img_channels == 4:
+      return jnp.concatenate([rgb, batch['depth'][:, idx]], axis=-1)
+    return rgb
+
+  def _tgt_of(batch):
+    rgb = _norm_rgb(batch['target_rgb'])
+    if config.img_channels == 4:
+      return jnp.concatenate([rgb, batch['target_depth']], axis=-1)
+    return rgb
+
+  def _window_feats(params, batch):
+    """All window features, chunked: -> [N_pad, L, B, D] f32."""
+    B = batch['frames'].shape[0]
+    widx = batch['widx']
+    N, K = widx.shape
+    n_pad = (-N) % C
+    widx_p = jnp.concatenate(
+        [widx, jnp.broadcast_to(widx[-1:], (n_pad, K))]) if n_pad else widx
+    chunks = widx_p.reshape(-1, C, K)
+    tgt = _tgt_of(batch) if goal_conditioned else None
+
+    def chunk_fn(idxc):  # [C, K] -> [C, L, B, D]
+      win = _frames_of(batch, idxc)          # [B, C, K, H, W, ch]
+      jnt = batch['jnt_state'][:, idxc]      # [B, C, K, J]
+      H, W, ch = win.shape[-3:]
+      win = win.swapaxes(0, 1).reshape(C * B, K, H, W, ch)
+      jnt = jnt.swapaxes(0, 1).reshape(C * B, K, -1)
+      if goal_conditioned:
+        tgt_b = jnp.broadcast_to(tgt[None], (C,) + tgt.shape)
+        tgt_b = tgt_b.reshape((C * B,) + tgt.shape[1:])
+        feats, _ = model.apply({'params': params}, win, jnt, tgt_b,
+                               method='window_features')
+      else:
+        feats, _ = model.apply({'params': params}, win, jnt,
+                               method='window_features')
+      # L per-step features, each [C*B, D]
+      out = jnp.stack(feats)                 # [L, C*B, D]
+      return out.reshape(out.shape[0], C, B, -1).swapaxes(0, 1)
+
+    feats = jax.lax.map(jax.checkpoint(chunk_fn), chunks)  # [nc, C, L, B, D]
+    return feats.reshape((-1,) + feats.shape[2:])          # [N_pad, L, B, D]
+
+  def _decode_all(params, feats_n):
+    """Scan the LSTM over the window sequence. feats_n [N, L, B, D]."""
+    B = feats_n.shape[2]
+    carry0 = (jnp.zeros((B, config.dim_h_lstm)),
+              jnp.zeros((B, config.dim_h_lstm)))
+
+    def step(carry, feat_l):
+      feats = [feat_l[i] for i in range(feat_l.shape[0])]
+      ep, carry = model.apply({'params': params}, feats, carry,
+                              jnp.asarray(False), method='decode')
+      return carry, ep
+
+    _, eps = jax.lax.scan(step, carry0, feats_n)
+    return eps  # dict of [N_pad, B, ...]
+
+  def _masked_mean(x, mask):
+    # x [N, B, ...], mask [N]
+    m = mask.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+    return jnp.sum(x * m) / (jnp.sum(mask) * float(np.prod(x.shape[1:])))
+
+  def _loss_all(ep, batch):
+    """Per-part masked losses over [N_pad, B, ...] predictions."""
+    N = batch['widx'].shape[0]
+    n_pad = (-N) % C
+    mask = batch['valid']
+    if n_pad:
+      mask = jnp.concatenate([mask, jnp.zeros((n_pad,), bool)])
+    lbl = lambda k: jnp.swapaxes(batch[k], 0, 1)  # [B,N,...] -> [N,B,...]
+    if n_pad:
+      pad = lambda x: jnp.concatenate(
+          [x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)])
+    else:
+      pad = lambda x: x
+    mse = lambda a, b: _masked_mean(jnp.square(a - pad(b)), mask)
+    parts = {}
+    if config.control_mode == 'cartesian':
+      cmd = lbl('cmd')
+      parts['loss_cmd_ee'] = mse(ep['pred_cmd_ee'], cmd[..., :3])
+      grp = jnp.rint(pad(cmd)[..., 3]).astype(jnp.int32) + 1
+      oh = jax.nn.one_hot(grp, config.num_grp_states)
+      ce = optax.softmax_cross_entropy(ep['logits_cmd_grp'], oh)  # [N, B]
+      parts['loss_cmd_grp'] = _masked_mean(ce, mask)
+      parts['loss_pos_ee'] = mse(ep['pred_aux_ee'], lbl('pos_ee'))
+      parts['loss_pos_obj'] = mse(ep['pred_aux_obj'], lbl('pos_obj'))
+      loss = (parts['loss_cmd_ee'] + parts['loss_cmd_grp'] +
+              config.lambda_aux * (parts['loss_pos_ee'] +
+                                   parts['loss_pos_obj']))
+      acc = (jnp.argmax(ep['logits_cmd_grp'], -1) == grp).astype(jnp.float32)
+      parts['acc_cmd_grp'] = _masked_mean(acc, mask)
+    else:
+      parts['loss_cmd_vel'] = mse(ep['pred_cmd_vel'], lbl('vel_target'))
+      parts['loss_cmd_ee'] = mse(ep['pred_cmd_ee'],
+                                 lbl('ee_target')[..., :3])
+      parts['loss_cmd_grp'] = mse(ep['pred_cmd_grp'], lbl('grp_target'))
+      parts['loss_pos_ee'] = mse(ep['pred_aux_ee'], lbl('pos_ee'))
+      parts['loss_pos_obj'] = mse(ep['pred_aux_obj'], lbl('pos_obj'))
+      loss = sum(v for k, v in parts.items() if k.startswith('loss_'))
+    # collapse canary: a healthy policy's commands vary across windows;
+    # batch-std ~0 on every head = dead constant predictor
+    parts['canary_std'] = jnp.std(ep['pred_cmd_ee'])
+    return loss, parts
+
+  def _forward_loss(params, batch):
+    feats = _window_feats(params, batch)
+    ep = _decode_all(params, feats)
+    loss, parts = _loss_all(ep, batch)
+    if config.l2_regularizer > 0:
+      l2 = sum(jnp.sum(jnp.square(p)) for p in jax.tree.leaves(params))
+      loss = loss + config.l2_regularizer * l2
+    return loss, parts
+
+  def init_fn(rng, batch_size: Optional[int] = None) -> TrainState:
+    n = batch_size or config.batch_size
+    feature, _ = _dummy_batch(config, goal_conditioned, 1)
+    carry1 = init_lstm_carry(config, 1)
+    frames = obs_frames(config, feature)
+    if goal_conditioned:
+      variables = model.init(rng, frames, feature['jnt_state'],
+                             tgt_frame(config, feature), carry1,
+                             jnp.asarray(True))
+    else:
+      variables = model.init(rng, frames, feature['jnt_state'], carry1,
+                             jnp.asarray(True))
+    params = variables['params']
+    return TrainState(params=params, opt_state=tx.init(params),
+                      lstm_carry=init_lstm_carry(config, n),
+                      step=jnp.zeros((), jnp.int32))
+
+  def train_step(ts: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+    (loss, parts), grads = jax.value_and_grad(
+        _forward_loss, has_aux=True)(ts.params, batch)
+    updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+    params = optax.apply_updates(ts.params, updates)
+    metrics = dict(parts, loss=loss)
+    return ts.replace(params=params, opt_state=opt_state,
+                      step=ts.step + 1), metrics
+
+  def eval_step(ts: TrainState, batch: Dict) -> Dict:
+    loss, parts = _forward_loss(ts.params, batch)
+    return dict(parts, loss=loss)
+
+  return init_fn, train_step, eval_step, tx
 
 
 # ---------------------------------------------------------------- sharding
@@ -234,8 +428,10 @@ def shard_train_state(ts: TrainState, mesh: Mesh) -> TrainState:
 
 # Features that are shared across the batch rather than batch-indexed:
 # 'rgb_frames' is the deduplicated frame slab ([F, H, W, 3], F = B+K-1),
-# 'target_rgb'/'target_depth' may be a single shared goal frame ([1, ...]).
-_REPLICATED_FEATURES = frozenset({'rgb_frames'})
+# 'target_rgb'/'target_depth' may be a single shared goal frame ([1, ...]),
+# 'widx'/'valid' are the shared window-index matrix of the episode-scan
+# batch layout (make_episode_train_fns).
+_REPLICATED_FEATURES = frozenset({'rgb_frames', 'widx', 'valid'})
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -33,7 +33,7 @@ ARGPARSER.add_argument('--checkpoint_name', type=str, default=None)
 ARGPARSER.add_argument('--dataset_dir', type=str, default='')
 ARGPARSER.add_argument('--tfrecord_list', type=str, default='')
 ARGPARSER.add_argument('--background_video', type=str, default='')
-ARGPARSER.add_argument('--carry_mode', type=str, default='window',
+ARGPARSER.add_argument('--carry_mode', type=str, default='persistent',
                        choices=['window', 'persistent'],
                        help='LSTM carry at serving: fresh per control step '
                             '(matches training) or accumulated across the '

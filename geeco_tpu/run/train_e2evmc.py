@@ -44,6 +44,15 @@ ARGPARSER.add_argument('--log_steps', type=int, default=100)
 ARGPARSER.add_argument('--num_devices', type=int, default=1)
 ARGPARSER.add_argument('--seed', type=int, default=0)
 ARGPARSER.add_argument('--max_steps_per_epoch', type=int, default=-1)
+ARGPARSER.add_argument('--train_mode', type=str, default='episode',
+                       help="'episode' scans whole-episode batches (the "
+                            "TPU-native path: balanced gradients + true "
+                            "BPTT); 'window' reproduces the reference's "
+                            "consecutive-window batches "
+                            "(geeco_gym.py:465-472)")
+ARGPARSER.add_argument('--episodes_per_batch', type=int, default=8)
+ARGPARSER.add_argument('--chunk_windows', type=int, default=8,
+                       help='windows per conv mega-pass in episode mode')
 ARGPARSER.add_argument('--max_rss_gb', type=float, default=100.0,
                        help='checkpoint and exit(3) when host RSS exceeds '
                             'this (the axon relay leaks transfer buffers; '
@@ -91,13 +100,24 @@ def main(args):
     print(f'>>> Saved model config to {config_path}')
 
   goal_conditioned = args.goal_condition == 'target'
-  init_fn, train_step, eval_step, _ = make_train_fns(config,
-                                                     goal_conditioned)
+  episode_mode = args.train_mode == 'episode'
+  if episode_mode:
+    from ..models.train import make_episode_train_fns
+    init_fn, train_step, eval_step, _ = make_episode_train_fns(
+        config, goal_conditioned, chunk_windows=args.chunk_windows)
+  else:
+    init_fn, train_step, eval_step, _ = make_train_fns(config,
+                                                       goal_conditioned)
   ts = init_fn(jax.random.PRNGKey(args.seed), config.batch_size)
 
-  # resume from latest checkpoint if present
+  # resume: prefer a full train state (params + optimizer moments), fall
+  # back to params-only checkpoints
+  latest_state = snapshots.latest_train_state(args.model_dir)
   latest = snapshots.latest_checkpoint(args.model_dir)
-  if latest:
+  if latest_state:
+    ts = snapshots.restore_train_state(latest_state, ts)
+    print(f'>>> Resumed train state from {latest_state}')
+  elif latest:
     import jax.numpy as _jnp
     ts = ts.replace(params=snapshots.restore_params(latest, ts.params),
                     step=_jnp.asarray(snapshots.checkpoint_step(latest),
@@ -124,17 +144,63 @@ def main(args):
       return shard_batch(f, mesh), shard_batch(l, mesh)
     return (jax.tree.map(jnp.asarray, f), jax.tree.map(jnp.asarray, l))
 
+  def train_batches(epoch):
+    if episode_mode:
+      from ..data.dataset import episode_pipeline
+      for b in episode_pipeline(
+          args.dataset_dir, args.split_name, 'train',
+          batch_episodes=args.episodes_per_batch,
+          window_size=config.window_size, fetch_target=goal_conditioned,
+          num_epochs=1, seed=args.seed + epoch,
+          with_depth=config.img_channels == 4):
+        yield (b,)
+    else:
+      for b in input_pipeline(
+          args.dataset_dir, args.split_name, 'train',
+          window_size=config.window_size, fetch_target=goal_conditioned,
+          batch_size=config.batch_size, num_epochs=1,
+          seed=args.seed + epoch, with_depth=config.img_channels == 4):
+        yield b
+
+  def eval_batches():
+    if episode_mode:
+      from ..data.dataset import episode_pipeline
+      for b in episode_pipeline(
+          args.dataset_dir, args.split_name, 'eval',
+          batch_episodes=args.episodes_per_batch,
+          window_size=config.window_size, fetch_target=goal_conditioned,
+          num_epochs=1, shuffle=False,
+          with_depth=config.img_channels == 4):
+        yield (b,)
+    else:
+      for b in input_pipeline(
+          args.dataset_dir, args.split_name, 'eval',
+          window_size=config.window_size, fetch_target=goal_conditioned,
+          batch_size=config.batch_size, num_epochs=1, shuffle=False,
+          with_depth=config.img_channels == 4):
+        yield b
+
+  def save_ckpt(step):
+    snapshots.save_checkpoint(args.model_dir, step, ts.params,
+                              keep_last=args.num_last_ckpt)
+    snapshots.save_train_state(args.model_dir, step, ts,
+                               keep_last=args.num_last_ckpt)
+
   for epoch in range(args.num_epochs):
     # ---- train
     t0 = time.time()
     n_steps = 0
-    for batch in input_pipeline(
-        args.dataset_dir, args.split_name, 'train',
-        window_size=config.window_size, fetch_target=goal_conditioned,
-        batch_size=config.batch_size, num_epochs=1, seed=args.seed + epoch,
-        with_depth=config.img_channels == 4):
-      f, l = to_device(batch)
-      ts, m = train_step(ts, f, l)
+    for batch in train_batches(epoch):
+      if episode_mode:
+        (b,) = batch
+        if mesh is not None:
+          b = shard_batch(b, mesh)
+        else:
+          b = jax.tree.map(jnp.asarray, b)
+        ts, m = train_step(ts, b)
+      else:
+        f, l = to_device(batch)
+        ts, m = train_step(ts, f, l)
       global_step += 1
       n_steps += 1
       if global_step % args.log_steps == 0:
@@ -147,48 +213,51 @@ def main(args):
         print(f'step {global_step}: loss={rec["loss"]:.5f} '
               f'rss={rec["rss_gb"]:.1f}G')
         if rec['rss_gb'] > args.max_rss_gb:
-          snapshots.save_checkpoint(args.model_dir, global_step, ts.params,
-                                    keep_last=args.num_last_ckpt)
+          save_ckpt(global_step)
           metrics_log.close()
           print(f'>>> RSS {rec["rss_gb"]:.1f} GiB > --max_rss_gb '
                 f'{args.max_rss_gb}; checkpointed at step {global_step}, '
                 'exiting 3 for the watchdog to restart')
           raise SystemExit(3)
       if global_step % args.ckpt_steps == 0:
-        snapshots.save_checkpoint(args.model_dir, global_step, ts.params,
-                                  keep_last=args.num_last_ckpt)
+        save_ckpt(global_step)
       if 0 < args.max_steps_per_epoch <= n_steps:
         break
     sps = n_steps / max(time.time() - t0, 1e-9)
     print(f'epoch {epoch}: {n_steps} steps, {sps:.2f} steps/s')
 
     # ---- eval + snapshot export (train_e2evmc.py:288-291, 143-205)
-    eval_losses = []
+    eval_metrics = []
     n_eval = 0
-    for batch in input_pipeline(
-        args.dataset_dir, args.split_name, 'eval',
-        window_size=config.window_size, fetch_target=goal_conditioned,
-        batch_size=config.batch_size, num_epochs=1, shuffle=False,
-        with_depth=config.img_channels == 4):
-      f, l = to_device(batch)
-      m = eval_step(ts, f, l)
-      eval_losses.append(float(m['loss']))
+    for batch in eval_batches():
+      if episode_mode:
+        (b,) = batch
+        if mesh is not None:
+          b = shard_batch(b, mesh)
+        else:
+          b = jax.tree.map(jnp.asarray, b)
+        m = eval_step(ts, b)
+      else:
+        f, l = to_device(batch)
+        m = eval_step(ts, f, l)
+      eval_metrics.append({k: float(v) for k, v in m.items()})
       n_eval += 1
       if 0 < args.max_steps_per_epoch <= n_eval:
         break
-    if eval_losses:
-      eval_loss = float(np.mean(eval_losses))
-      rec = {'step': global_step, 'epoch': epoch, 'split': 'eval',
-             'loss': eval_loss}
+    if eval_metrics:
+      agg = {k: float(np.mean([m[k] for m in eval_metrics]))
+             for k in eval_metrics[0]}
+      eval_loss = agg['loss']
+      rec = dict(agg, step=global_step, epoch=epoch, split='eval')
       metrics_log.write(json.dumps(rec) + '\n')
       metrics_log.flush()
-      snapshots.save_checkpoint(args.model_dir, global_step, ts.params,
-                                keep_last=args.num_last_ckpt)
+      save_ckpt(global_step)
       snapshots.export_snapshot(args.model_dir, eval_loss,
                                 num_best=args.num_best_ckpt)
-      print(f'epoch {epoch}: eval_loss={eval_loss:.5f}')
-  snapshots.save_checkpoint(args.model_dir, global_step, ts.params,
-                            keep_last=args.num_last_ckpt)
+      print(f'epoch {epoch}: eval_loss={eval_loss:.5f} '
+            + ' '.join(f'{k}={v:.4f}' for k, v in sorted(agg.items())
+                       if k != 'loss'))
+  save_ckpt(global_step)
   metrics_log.close()
   return ts
 

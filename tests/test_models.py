@@ -87,6 +87,12 @@ def test_lstm_reset_semantics():
   carry0 = init_lstm_carry(cfg, n)
   v = model.init(jax.random.PRNGKey(0), frames, jnt, carry0,
                  jnp.asarray(True))
+  # heads are zero-initialized (constant 0 output at init regardless of
+  # carry); give the probed head a nonzero kernel so carry effects are
+  # observable in pred_cmd_ee
+  v = jax.tree.map(lambda x: x, v)  # shallow copy
+  k = v['params']['LSTMDecoder']['pred_cmd_ee']['kernel']
+  v['params']['LSTMDecoder']['pred_cmd_ee']['kernel'] = jnp.ones_like(k)
   _, c1 = model.apply(v, frames, jnt, carry0, jnp.asarray(True))
   # carry changes predictions when reset=False but not when reset=True
   ep_reset, _ = model.apply(v, frames, jnt, c1, jnp.asarray(True))
