@@ -44,6 +44,9 @@ ARGPARSER.add_argument('--log_steps', type=int, default=100)
 ARGPARSER.add_argument('--num_devices', type=int, default=1)
 ARGPARSER.add_argument('--seed', type=int, default=0)
 ARGPARSER.add_argument('--max_steps_per_epoch', type=int, default=-1)
+ARGPARSER.add_argument('--max_total_steps', type=int, default=-1,
+                       help='stop once the resumed global step reaches '
+                            'this (the watchdog-restart stop criterion)')
 ARGPARSER.add_argument('--train_mode', type=str, default='episode',
                        help="'episode' scans whole-episode batches (the "
                             "TPU-native path: balanced gradients + true "
@@ -187,10 +190,15 @@ def main(args):
                                keep_last=args.num_last_ckpt)
 
   for epoch in range(args.num_epochs):
+    if 0 < args.max_total_steps <= global_step:
+      print(f'>>> reached max_total_steps={args.max_total_steps}; done')
+      break
     # ---- train
     t0 = time.time()
     n_steps = 0
     for batch in train_batches(epoch):
+      if 0 < args.max_total_steps <= global_step:
+        break
       if episode_mode:
         (b,) = batch
         if mesh is not None:
