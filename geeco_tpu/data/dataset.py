@@ -81,8 +81,9 @@ def preprocess_states(ep: Dict) -> Dict:
     rgb = ep['rgb']
     out['rgb'] = (rgb.astype(np.float32) / 255.0
                   if rgb.dtype == np.uint8 else rgb.astype(np.float32))
-    out['depth'] = ep['depth'].astype(np.float32)[..., None] \
-        if ep['depth'].ndim == 3 else ep['depth'].astype(np.float32)
+    if 'depth' in ep:  # RGB-only recordings carry no depth channel
+      out['depth'] = ep['depth'].astype(np.float32)[..., None] \
+          if ep['depth'].ndim == 3 else ep['depth'].astype(np.float32)
   out['jnt_state'] = np.stack(
       [ep[f'joint_qpos-{j}'] for j in ARM_JOINTS], axis=1).astype(np.float32)
   out['vel_state'] = np.stack(
@@ -174,7 +175,8 @@ def episode_windows(path: str, window_size: int = 4,
     # target frame = last frame of the episode (_parse_v4 fetch_target)
     if 'rgb' in ex:
       ex['target_rgb'] = ex['rgb'][-1]
-      ex['target_depth'] = ex['depth'][-1]
+      if 'depth' in ex:
+        ex['target_depth'] = ex['depth'][-1]
   ex = preprocess_targets(ex)
   win = make_windows(ex, window_size)
   return prepare(win, fetch_target)

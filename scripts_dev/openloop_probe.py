@@ -1,69 +1,78 @@
-"""Dev: open-loop action-error probe for a trained checkpoint (CPU).
+"""Dev: open-loop action-prediction probe for a training checkpoint.
 
-Feeds recorded windows from dataset episodes through the checkpoint
-exactly as training does (same input_pipeline) and reports predicted vs
-expert command statistics.  Distinguishes "undertrained" (predictions
-near zero / prior everywhere) from "serve-time mismatch" (good open-loop
-predictions but 0% closed-loop).
+Runs the model sequentially over one or more recorded test episodes
+(persistent carry, serving semantics) and reports cmd_ee correlation /
+MSE and gripper accuracy vs the recorded expert commands. A policy with
+high open-loop agreement has a chance closed-loop; one without has none.
 
-Run:  env -u PYTHONPATH JAX_PLATFORMS=cpu python \
-        scripts_dev/openloop_probe.py <model_dir> <dataset_dir> [n_batches]
+CPU-friendly (tiny batch): run while the chip is busy training.
+
+Env: MODEL_DIR (default /root/models/geeco-f2), DS, N_EP (default 3).
 """
-
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                '..'))
-
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from geeco_tpu.data.dataset import input_pipeline
-from geeco_tpu.models.params import load_model_config
+jax.config.update('jax_platforms', 'cpu')
+
+from geeco_tpu.data import dataset as D
 from geeco_tpu.models import snapshots
-from geeco_tpu.models.e2evmc import init_lstm_carry
-from geeco_tpu.models.train import make_train_fns
+from geeco_tpu.models.e2evmc import init_lstm_carry, make_model
+from geeco_tpu.models.params import load_model_config
 
+MODEL_DIR = os.environ.get('MODEL_DIR', '/root/models/geeco-f2')
+DS = os.environ.get('DS', '/root/ds_fixed/collect')
+N_EP = int(os.environ.get('N_EP', '3'))
 
-def main(model_dir, dataset_dir, n_batches=6, split='test'):
-  cfg = load_model_config(os.path.join(model_dir, 'e2evmc_config.json'))
-  init_fn, _, _, apply_fn = make_train_fns(cfg, goal_conditioned=True)
-  ts = init_fn(jax.random.PRNGKey(0), cfg.batch_size)
-  latest = snapshots.latest_checkpoint(model_dir)
-  params = snapshots.restore_params(latest, ts.params)
-  print(f'checkpoint: {latest}')
+cfg = load_model_config(os.path.join(MODEL_DIR, 'e2evmc_config.json'))
+model = make_model(cfg, True)
+ckpt = snapshots.latest_checkpoint(MODEL_DIR)
+print(f'ckpt: {ckpt}')
 
-  errs, mags, tmags, grp_hits, grp_counts = [], [], [], [], []
-  it = input_pipeline(dataset_dir, 'default', split,
-                      window_size=cfg.window_size, fetch_target=True,
-                      batch_size=cfg.batch_size, num_epochs=1,
-                      shuffle=False, seed=0, with_depth=False)
-  for bi, (f, l) in enumerate(it):
-    if bi >= n_batches:
-      break
-    f = jax.tree.map(np.asarray, f)
-    carry = init_lstm_carry(cfg, cfg.batch_size)
-    reset = np.prod(np.asarray(f['step'])) == 0
-    ep, _ = apply_fn(params, f, carry, reset)
-    pred_ee = np.asarray(ep['pred_cmd_ee'])
-    tgt_ee = np.asarray(l['cmd'][:, :3])
-    pred_grp = np.argmax(np.asarray(ep['logits_cmd_grp']), -1) - 1
-    tgt_grp = np.rint(np.asarray(l['cmd'][:, 3])).astype(int)
-    errs.append(np.abs(pred_ee - tgt_ee).mean())
-    mags.append(np.abs(pred_ee).mean())
-    tmags.append(np.abs(tgt_ee).mean())
-    grp_hits.append((pred_grp == tgt_grp).sum())
-    grp_counts.append(tgt_grp.size)
-    print(f'batch {bi}: |pred-tgt|={errs[-1]:.4f} |pred|={mags[-1]:.4f} '
-          f'|tgt|={tmags[-1]:.4f} grp_acc={grp_hits[-1] / grp_counts[-1]:.2f}')
-  print(f'TOTAL: mean|pred-tgt|={np.mean(errs):.4f} '
-        f'mean|pred|={np.mean(mags):.4f} mean|tgt|={np.mean(tmags):.4f} '
-        f'grp_acc={sum(grp_hits) / sum(grp_counts):.3f}')
+# template params
+K = cfg.window_size
+f0 = jnp.zeros((1, K, cfg.img_height, cfg.img_width, 3))
+j0 = jnp.zeros((1, K, 7))
+t0 = jnp.zeros((1, cfg.img_height, cfg.img_width, 3))
+c0 = init_lstm_carry(cfg, 1)
+tmpl = model.init(jax.random.PRNGKey(0), f0, j0, t0, c0,
+                  jnp.asarray(True))['params']
+params = snapshots.restore_params(ckpt, tmpl)
 
+fwd = jax.jit(lambda p, f, j, t, c: model.apply(
+    {'params': p}, f, j, t, c, jnp.asarray(False)))
 
-if __name__ == '__main__':
-  main(sys.argv[1], sys.argv[2],
-       int(sys.argv[3]) if len(sys.argv) > 3 else 6)
+paths = D.list_records(DS, 'default', 'test')[:N_EP]
+all_pred, all_true, all_gp, all_gt = [], [], [], []
+for path in paths:
+  feats, labels = D.episode_windows(path, window_size=K, fetch_target=True)
+  N = feats['step'].shape[0]
+  carry = init_lstm_carry(cfg, 1)
+  tgt = jnp.asarray(feats['target_rgb'][0][None])
+  for t in range(N):
+    ep, carry = fwd(params, jnp.asarray(feats['rgb'][t][None]),
+                    jnp.asarray(feats['jnt_state'][t][None]), tgt, carry)
+    all_pred.append(np.asarray(ep['pred_cmd_ee'][0]))
+    all_gp.append(int(np.argmax(np.asarray(ep['logits_cmd_grp'][0]))) - 1)
+    all_true.append(labels['cmd'][t][:3])
+    all_gt.append(int(round(float(labels['cmd'][t][3]))))
+  print(f'{os.path.basename(path)}: {N} windows done')
+
+P = np.asarray(all_pred)
+T = np.asarray(all_true)
+G = np.asarray(all_gp)
+GT = np.asarray(all_gt)
+print(f'pred std {P.std(0)}  true std {T.std(0)}')
+print(f'mse {np.mean((P - T) ** 2):.4f}  '
+      f'(zero baseline {np.mean(T ** 2):.4f})')
+for d, name in enumerate('xyz'):
+  c = np.corrcoef(P[:, d], T[:, d])[0, 1]
+  print(f'corr {name}: {c:.3f}')
+print(f'grp acc: {np.mean(G == GT):.3f}  '
+      f'(majority baseline {max(np.mean(GT == v) for v in (-1, 0, 1)):.3f})')
