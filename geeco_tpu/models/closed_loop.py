@@ -45,21 +45,21 @@ def init_policy_state(config: E2EVMCConfig) -> PolicyState:
 
 def make_closed_loop(env: GeecoEnv, config: E2EVMCConfig,
                      goal_conditioned: bool,
-                     carry_mode: str = 'persistent'):
+                     carry_mode: Optional[str] = None):
   """Returns rollout_fn(params, es, tgt_frame, n_steps) -> (es_f, aux).
 
   The per-step policy+env transition is compiled once; vmap over envs and
   feed per-env target frames for the goal-conditioned variant.
 
-  carry_mode: 'persistent' (default) accumulates the LSTM carry across
-  control steps like the reference predictor
-  (src/models/e2evmc/predictor.py:127-200) — this matches the
-  episode-scan training path, which BPTTs the carry through consecutive
-  stride-1 windows exactly as served. 'window' re-zeros the carry every
-  step; it matches the legacy window-batch training path (whose trained
-  carries never accumulate meaningfully: measured 4x lower open-loop
-  action error with a fresh carry under that path).
+  carry_mode: serving must match the carry semantics the model was
+  TRAINED with (config.train_carry — see models/params.py).  None/'auto'
+  derives it: 'window' (fresh carry per step) for stateless-trained
+  models, 'persistent' (reference predictor accumulate-across-steps,
+  src/models/e2evmc/predictor.py:127-200) for BPTT-trained ones.
   """
+  if carry_mode in (None, 'auto'):
+    carry_mode = ('window' if config.train_carry == 'stateless'
+                  else 'persistent')
   model = make_model(config, goal_conditioned)
 
   def policy_step(params, ps: PolicyState, obs_frame, jnt_state, tgt_frame):
@@ -147,7 +147,7 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
                      goal_conditioned: bool, rngs, tgt_frames=None,
                      n_steps: int = 200, es0=None,
                      step_textures=None,
-                     carry_mode: str = 'persistent',
+                     carry_mode: Optional[str] = None,
                      mesh=None) -> Dict[str, jax.Array]:
   """Reset + closed-loop rollout for a batch of envs; returns metrics.
 

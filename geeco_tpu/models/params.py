@@ -37,6 +37,22 @@ E2E_VMC_DEFAULT_PARAM_DICT: Dict[str, Any] = {
     'lr': 1e-4,
     # TPU-native additions
     'compute_dtype': 'bfloat16',   # conv/LSTM compute precision
+    # LSTM carry semantics the model was TRAINED with; serving must match.
+    #   'stateless': fresh (zero) carry per window.  This is what the
+    #     reference's training dynamics effectively produce: its carry
+    #     tensor crosses unrelated windows (row i of consecutive batches is
+    #     32 windows apart, geeco_gym.py:465-472), so the trained policy is
+    #     reactive.  Full-episode BPTT instead lets the LSTM learn an
+    #     episode-indexed action playback that memorizes the train split
+    #     (round-2 measured: train cmd MSE 0.09, eval 0.55 = two random
+    #     scripts' disagreement) — stateless is the generalizing choice.
+    #   'bptt': carry propagates through the episode window sequence
+    #     (persistent-carry serving), for experiments.
+    'train_carry': 'stateless',
+    # 'group' = GroupNorm before each encoder ReLU (see e2evmc.ConvEncoder:
+    # the reference's raw stack degenerates when rebuilt); 'none' = raw
+    # reference architecture.
+    'encoder_norm': 'group',
 }
 
 
@@ -63,6 +79,8 @@ class E2EVMCConfig:
   batch_size: int = 32
   lr: float = 1e-4
   compute_dtype: str = 'bfloat16'
+  train_carry: str = 'stateless'
+  encoder_norm: str = 'group'
 
   def asdict(self) -> Dict[str, Any]:
     return dataclasses.asdict(self)

@@ -32,19 +32,20 @@ class _BasePredictor:
 
   def __init__(self, model_dir: str, checkpoint_name: Optional[str] = None,
                config: Optional[E2EVMCConfig] = None, params=None,
-               carry_mode: str = 'persistent'):
-    """carry_mode: 'persistent' (default) accumulates the LSTM carry
-    across predict() calls like the reference predictor
-    (predictor.py:127-200) — it matches the episode-scan training path
-    (models/train.py::make_episode_train_fns), which BPTTs the carry
-    through consecutive stride-1 windows exactly as served. 'window'
-    re-zeros the carry every call, matching the legacy window-batch
-    training path whose carries never accumulate meaningfully.
+               carry_mode: Optional[str] = None):
+    """carry_mode: serving must match the carry semantics the model was
+    TRAINED with (config.train_carry — see models/params.py).  None/'auto'
+    derives it from the config: 'window' (fresh carry per predict) for
+    stateless-trained models, 'persistent' (reference predictor behavior,
+    predictor.py:127-200) for BPTT-trained ones.
     """
     if config is None:
       config = load_model_config(os.path.join(model_dir,
                                               'e2evmc_config.json'))
     self.cfg = config
+    if carry_mode in (None, 'auto'):
+      carry_mode = ('window' if config.train_carry == 'stateless'
+                    else 'persistent')
     self.carry_mode = carry_mode
     self.model = make_model(config, self.goal_conditioned)
     if params is None:

@@ -305,8 +305,23 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
     return feats.reshape((-1,) + feats.shape[2:])          # [N_pad, L, B, D]
 
   def _decode_all(params, feats_n):
-    """Scan the LSTM over the window sequence. feats_n [N, L, B, D]."""
-    B = feats_n.shape[2]
+    """Decode all windows. feats_n [N, L, B, D] -> dict of [N, B, ...].
+
+    train_carry='stateless': fresh zero carry per window; no sequential
+    dependency, so the decode runs as one batched pass over N*B windows.
+    train_carry='bptt': lax.scan the LSTM cell over the window sequence
+    (true BPTT; serving must use persistent carry).
+    """
+    N, L, B, D = feats_n.shape
+    if config.train_carry == 'stateless':
+      flat = feats_n.transpose(1, 0, 2, 3).reshape(L, N * B, D)
+      feats = [flat[i] for i in range(L)]
+      carry0 = (jnp.zeros((N * B, config.dim_h_lstm)),
+                jnp.zeros((N * B, config.dim_h_lstm)))
+      ep, _ = model.apply({'params': params}, feats, carry0,
+                          jnp.asarray(True), method='decode')
+      return jax.tree.map(
+          lambda x: x.reshape((N, B) + x.shape[1:]), ep)
     carry0 = (jnp.zeros((B, config.dim_h_lstm)),
               jnp.zeros((B, config.dim_h_lstm)))
 

@@ -33,11 +33,12 @@ ARGPARSER.add_argument('--checkpoint_name', type=str, default=None)
 ARGPARSER.add_argument('--dataset_dir', type=str, default='')
 ARGPARSER.add_argument('--tfrecord_list', type=str, default='')
 ARGPARSER.add_argument('--background_video', type=str, default='')
-ARGPARSER.add_argument('--carry_mode', type=str, default='persistent',
-                       choices=['window', 'persistent'],
-                       help='LSTM carry at serving: fresh per control step '
-                            '(matches training) or accumulated across the '
-                            'episode (reference-predictor parity)')
+ARGPARSER.add_argument('--carry_mode', type=str, default='auto',
+                       choices=['auto', 'window', 'persistent'],
+                       help='LSTM carry at serving: auto derives it from the '
+                            'trained config.train_carry; window = fresh '
+                            'per step; persistent = accumulated across '
+                            'the episode (reference-predictor parity)')
 ARGPARSER.add_argument('--shadows', type=int, default=-1,
                        help='occlusion-tested shadows: 1 on, 0 off, '
                             '-1 renderer default (on)')

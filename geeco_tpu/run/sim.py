@@ -420,13 +420,13 @@ def run_controller_batched(args):
                              tgt_frames=tgt, n_steps=episode_steps,
                              es0=es0, step_textures=step_textures,
                              carry_mode=getattr(args, 'carry_mode',
-                                                'window'), mesh=mesh)
+                                                'auto'), mesh=mesh)
     else:
       agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
                              n_steps=episode_steps,
                              step_textures=step_textures,
                              carry_mode=getattr(args, 'carry_mode',
-                                                'window'), mesh=mesh)
+                                                'auto'), mesh=mesh)
     agg = {k: np.asarray(v) for k, v in agg.items()}
     for k in range(n):
       rows.append({
