@@ -191,6 +191,7 @@ def episode_pipeline(dataset_dir: str, split_name: str, mode: str,
                      shuffle: bool = True, seed: Optional[int] = None,
                      with_depth: bool = False,
                      pad_start: bool = True,
+                     aug_shift: int = 0,
                      prefetch: bool = True) -> Iterator[Dict]:
   """Whole-episode batches for the episode-scan training path
   (models/train.py::make_episode_train_fns — see there for the layout).
@@ -199,6 +200,13 @@ def episode_pipeline(dataset_dir: str, split_name: str, mode: str,
   ship once ([B, F, H, W, 3]); windows are index matrices shared across
   the batch (all episodes have the reference's fixed length,
   pickplace.py:157). Gradient steps thus average over every task phase.
+
+  aug_shift > 0 applies a random per-episode image translation of up to
+  +-aug_shift pixels (same shift for every frame of the episode AND its
+  target frame, so obs/target correspondence and dynamic images stay
+  consistent — it emulates camera jitter). Fresh shifts are drawn each
+  epoch, breaking absolute-pixel memorization of object locations
+  (the approach-direction regression overfits spatially without it).
   """
   rng = np.random.RandomState(seed)
   paths = list_records(dataset_dir, split_name, mode)
@@ -249,10 +257,38 @@ def episode_pipeline(dataset_dir: str, split_name: str, mode: str,
     group.append(item)
     if len(group) < B:
       continue
-    yield _assemble_episode_batch(group, K, fetch_target, with_depth,
-                                  pad_start)
+    batch = _assemble_episode_batch(group, K, fetch_target, with_depth,
+                                    pad_start)
+    if aug_shift > 0 and 'frames' in batch:
+      _augment_shift(batch, aug_shift, rng)
+    yield batch
     group = []
   # remainder dropped (fixed-shape batches keep the step jit-compiled once)
+
+
+def _shift2d(img: np.ndarray, dy: int, dx: int, s: int) -> np.ndarray:
+  """Translate [..., H, W, C] by (dy, dx) with edge padding."""
+  pad = [(0, 0)] * (img.ndim - 3) + [(s, s), (s, s), (0, 0)]
+  padded = np.pad(img, pad, mode='edge')
+  H, W = img.shape[-3:-1]
+  return padded[..., s + dy:s + dy + H, s + dx:s + dx + W, :]
+
+
+def _augment_shift(batch: Dict, s: int, rng) -> None:
+  """Per-episode random translation of frames (+depth/target), in place."""
+  B = batch['frames'].shape[0]
+  for bi in range(B):
+    dy, dx = rng.randint(-s, s + 1), rng.randint(-s, s + 1)
+    if dy == 0 and dx == 0:
+      continue
+    batch['frames'][bi] = _shift2d(batch['frames'][bi], dy, dx, s)
+    if 'depth' in batch:
+      batch['depth'][bi] = _shift2d(batch['depth'][bi], dy, dx, s)
+    if 'target_rgb' in batch:
+      batch['target_rgb'][bi] = _shift2d(batch['target_rgb'][bi], dy, dx, s)
+    if 'target_depth' in batch:
+      batch['target_depth'][bi] = _shift2d(batch['target_depth'][bi],
+                                           dy, dx, s)
 
 
 def _assemble_episode_batch(group, K: int, fetch_target: bool,

@@ -56,6 +56,9 @@ ARGPARSER.add_argument('--train_mode', type=str, default='episode',
 ARGPARSER.add_argument('--episodes_per_batch', type=int, default=8)
 ARGPARSER.add_argument('--chunk_windows', type=int, default=8,
                        help='windows per conv mega-pass in episode mode')
+ARGPARSER.add_argument('--aug_shift', type=int, default=0,
+                       help='train-time random per-episode image '
+                            'translation in pixels (episode mode only)')
 ARGPARSER.add_argument('--max_rss_gb', type=float, default=100.0,
                        help='checkpoint and exit(3) when host RSS exceeds '
                             'this (the axon relay leaks transfer buffers; '
@@ -155,7 +158,8 @@ def main(args):
           batch_episodes=args.episodes_per_batch,
           window_size=config.window_size, fetch_target=goal_conditioned,
           num_epochs=1, seed=args.seed + epoch,
-          with_depth=config.img_channels == 4):
+          with_depth=config.img_channels == 4,
+          aug_shift=args.aug_shift):
         yield (b,)
     else:
       for b in input_pipeline(
