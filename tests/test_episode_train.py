@@ -213,6 +213,35 @@ def test_unconditional_variant(ds):
   assert np.isfinite(float(m['loss']))
 
 
+def test_velocity_mode(ds):
+  cfg = _config(control_mode='velocity')
+  init_fn, train_step, eval_step, _ = make_episode_train_fns(
+      cfg, True, chunk_windows=4)
+  ts = init_fn(jax.random.PRNGKey(0), 2)
+  b = next(iter(D.episode_pipeline(ds, 'default', 'train',
+                                   batch_episodes=2, window_size=K,
+                                   fetch_target=True, seed=0)))
+  b = jax.tree.map(jnp.asarray, b)
+  ts, m = jax.jit(train_step)(ts, b)
+  for k in ('loss_cmd_vel', 'loss_cmd_ee', 'loss_cmd_grp'):
+    assert np.isfinite(float(m[k])), k
+
+
+def test_aug_shift_keeps_layout(ds):
+  b0 = next(iter(D.episode_pipeline(ds, 'default', 'train',
+                                    batch_episodes=2, window_size=K,
+                                    fetch_target=True, seed=0)))
+  ba = next(iter(D.episode_pipeline(ds, 'default', 'train',
+                                    batch_episodes=2, window_size=K,
+                                    fetch_target=True, seed=0,
+                                    aug_shift=3)))
+  assert ba['frames'].shape == b0['frames'].shape
+  assert ba['frames'].dtype == np.uint8
+  assert not np.array_equal(ba['frames'], b0['frames'])
+  # labels unchanged by an image-space augmentation
+  assert np.array_equal(ba['cmd'], b0['cmd'])
+
+
 def test_train_state_roundtrip(ds, tmp_path):
   from geeco_tpu.models import snapshots
   cfg = _config()
