@@ -17,7 +17,7 @@ export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 
 echo "=== [pipeline] waiting for collection (pid $(cat /tmp/collect.pid))"
 while kill -0 "$(cat /tmp/collect.pid)" 2>/dev/null; do sleep 60; done
-N_EPS=$(ls "$DS/data" | wc -l)
+N_EPS=$(ls "$DS/data" | grep -c '\.npz$')
 echo "=== [pipeline] collection done: $N_EPS episodes"
 if [ "$N_EPS" -lt 2900 ]; then
   echo "=== [pipeline] too few episodes; aborting"; exit 1
@@ -36,11 +36,12 @@ with open('/tmp/collect.log') as fp:
       failed.append(int(m.group(1)))
 moved = 0
 for eid in failed:
-  src = os.path.join(ds, 'data', f'replay_buffer_{eid:04d}.npz')
-  if os.path.exists(src):
-    shutil.move(src, os.path.join(ds, 'data_failed',
-                                  f'replay_buffer_{eid:04d}.npz'))
-    moved += 1
+  for ext in ('npz', 'json'):
+    src = os.path.join(ds, 'data', f'replay_buffer_{eid:04d}.{ext}')
+    if os.path.exists(src):
+      shutil.move(src, os.path.join(ds, 'data_failed',
+                                    f'replay_buffer_{eid:04d}.{ext}'))
+      moved += ext == 'npz'
 print(f'moved {moved}/{len(failed)} failed episodes out of data/')
 EOF
 
@@ -58,7 +59,7 @@ for attempt in $(seq 1 40); do
       --goal_condition target --proc_obs dynimg --proc_tgt dyndiff \
       --lr 2e-4 --train_mode episode --episodes_per_batch 8 \
       --aug_shift 10 --num_epochs 100 --max_total_steps "$STEPS" \
-      --ckpt_steps 200 --log_steps 25 --max_rss_gb 70 --seed 0
+      --ckpt_steps 200 --log_steps 25 --max_rss_gb 95 --seed 0
   rc=$?
   echo "=== [pipeline] trainer exited rc=$rc (attempt $attempt)"
   if [ $rc -eq 0 ]; then break; fi
