@@ -98,6 +98,8 @@ def main():
     env_kwargs['solver_iterations'] = int(os.environ['BENCH_SOLVER_ITERS'])
   if 'BENCH_SOLVER_METHOD' in os.environ:
     env_kwargs['solver_method'] = os.environ['BENCH_SOLVER_METHOD']
+  if 'BENCH_SELECT_K' in os.environ:
+    env_kwargs['contact_select_k'] = int(os.environ['BENCH_SELECT_K'])
   env = GeecoEnv(shapes='pad2-cube2', settle_steps=2, **env_kwargs)
   env.setup()
 

@@ -6,8 +6,10 @@ the ~3 min axon tunnel init and scene compile are paid once.  Follows the
 axon measurement rules (forced host readbacks, per-iter perturbed inputs).
 
 Env overrides:
-  CONFIGS  semicolon list of method:iters (default
-           "psd:60;bb:60;bb:90;pallas:60")
+  CONFIGS  semicolon list of method:iters[:select_k] (default
+           "psd:60;bb:60;bb:90;pallas:60"); select_k overrides the
+           contact active-set size (default: env auto, 128 for
+           pad2-cube2)
   SWEEP    comma list of batch sizes (default "256,512,1024")
   N        timed iters per config (default 8)
   SCENE    (default pad2-cube2)
@@ -80,24 +82,26 @@ def bench_env(env, B, n_iters):
 def main():
   rows = []
   for cfg in CONFIGS.split(';'):
-    method, iters = cfg.split(':')
-    iters = int(iters)
+    parts = cfg.split(':')
+    method, iters = parts[0], int(parts[1])
+    sel_k = int(parts[2]) if len(parts) > 2 else None
+    tag = f'{method}@{iters}' + (f' K={sel_k}' if sel_k else '')
     env = GeecoEnv(shapes=SCENE, settle_steps=2, solver_method=method,
-                   solver_iterations=iters)
+                   solver_iterations=iters, contact_select_k=sel_k)
     env.setup()
     for B in SWEEP:
       try:
         sps, ms, comp = bench_env(env, B, N)
       except Exception as e:
-        print(f'{method}@{iters} B={B}: FAILED {type(e).__name__}: {e}',
+        print(f'{tag} B={B}: FAILED {type(e).__name__}: {e}',
               flush=True)
         continue
-      rows.append((method, iters, B, sps, ms))
-      print(f'{method}@{iters} B={B}: {sps:9.1f} env-steps/s  '
+      rows.append((tag, B, sps, ms))
+      print(f'{tag} B={B}: {sps:9.1f} env-steps/s  '
             f'{ms * 1e3:8.1f} ms/step  (compile {comp:.0f}s)', flush=True)
-  best = max(rows, key=lambda r: r[3]) if rows else None
+  best = max(rows, key=lambda r: r[2]) if rows else None
   if best:
-    print(f'BEST: {best[0]}@{best[1]} B={best[2]} -> {best[3]:.1f} steps/s')
+    print(f'BEST: {best[0]} B={best[1]} -> {best[2]:.1f} steps/s')
 
 
 if __name__ == '__main__':
