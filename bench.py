@@ -100,6 +100,8 @@ def main():
     env_kwargs['solver_method'] = os.environ['BENCH_SOLVER_METHOD']
   if 'BENCH_SELECT_K' in os.environ:
     env_kwargs['contact_select_k'] = int(os.environ['BENCH_SELECT_K'])
+  if 'BENCH_COLLIDE_EVERY' in os.environ:
+    env_kwargs['collide_every'] = int(os.environ['BENCH_COLLIDE_EVERY'])
   env = GeecoEnv(shapes='pad2-cube2', settle_steps=2, **env_kwargs)
   env.setup()
 

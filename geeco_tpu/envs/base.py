@@ -164,6 +164,7 @@ class GeecoEnv:
                settle_steps: int = 10, solver_iterations: int = 60,
                solver_method: str = 'psd', hysteresis: float = 0.0,
                contact_select_k: Optional[int] = None,
+               collide_every: int = 1,
                renderer_kwargs: Optional[dict] = None):
     import os
     self.shapes = shapes
@@ -182,6 +183,7 @@ class GeecoEnv:
                                  contact_select_k=contact_select_k)
     self.solver_method = solver_method
     self.hysteresis = hysteresis
+    self.collide_every = collide_every
     h, w = frame_res
     self.renderer = build_renderer(self.model, self.assets, width=w,
                                    height=h, **(renderer_kwargs or {}))
@@ -282,7 +284,8 @@ class GeecoEnv:
         return self.stepper.step(s, self.n_substeps,
                                  self.solver_iterations,
                                  solver_method=self.solver_method,
-                                 hysteresis=self.hysteresis), None
+                                 hysteresis=self.hysteresis,
+                                 collide_every=self.collide_every), None
       s, _ = jax.lax.scan(body, s, None, length=self.settle_steps)
       return s
 
@@ -320,7 +323,8 @@ class GeecoEnv:
       return self.stepper.step(s, self.n_substeps,
                                self.solver_iterations,
                                solver_method=self.solver_method,
-                               hysteresis=self.hysteresis), None
+                               hysteresis=self.hysteresis,
+                               collide_every=self.collide_every), None
     phys, _ = jax.lax.scan(body, phys, None, length=self.settle_steps)
     return phys
 
@@ -398,7 +402,8 @@ class GeecoEnv:
                         mocap_quat=mocap_quat[None])
     phys = self.stepper.step(phys, self.n_substeps, self.solver_iterations,
                              solver_method=self.solver_method,
-                             hysteresis=self.hysteresis)
+                             hysteresis=self.hysteresis,
+                             collide_every=self.collide_every)
     return es.replace(phys=phys, ts=es.ts + 1)
 
   # ------------------------------------------------------------- readouts

@@ -37,13 +37,15 @@ class Stepper(NamedTuple):
   def fk(self, state: State) -> Kin:
     return K.fk(self.model, state)
 
-  def substep(self, state: State, solver_iterations: int = 60,
-              solver_method: str = 'psd', solver_unroll: int = 1,
-              hysteresis: float = 0.0) -> State:
+  def _substep_c(self, state: State, solver_iterations: int,
+                 solver_method: str, solver_unroll: int, hysteresis: float,
+                 contacts: C.Contacts | None
+                 ) -> tuple[State, C.Contacts]:
     model = self.model
     dt = model.opt.timestep
     smooth = D.smooth_dynamics(model, state, self.anc_mask, dt)
-    contacts = C.collide(model, smooth.kin)
+    if contacts is None:
+      contacts = C.collide(model, smooth.kin)
     con = S.make_constraints(model, self.cs, smooth, contacts, state,
                              self.anc_mask, hysteresis=hysteresis)
     f, qacc = S.solve(model, self.cs, smooth, con, state.efc_force,
@@ -52,16 +54,47 @@ class Stepper(NamedTuple):
     qvel = state.qvel + dt * qacc
     qpos = K.integrate_qpos(model, state.qpos, qvel, dt)
     return state.replace(qpos=qpos, qvel=qvel, time=state.time + dt,
-                         efc_force=f)
+                         efc_force=f), contacts
+
+  def substep(self, state: State, solver_iterations: int = 60,
+              solver_method: str = 'psd', solver_unroll: int = 1,
+              hysteresis: float = 0.0) -> State:
+    return self._substep_c(state, solver_iterations, solver_method,
+                           solver_unroll, hysteresis, None)[0]
 
   def step(self, state: State, n_substeps: int = 20,
            solver_iterations: int = 60, unroll: int = 1,
            solver_method: str = 'psd', solver_unroll: int = 1,
-           hysteresis: float = 0.0) -> State:
-    def body(s, _):
-      return self.substep(s, solver_iterations, solver_method,
-                          solver_unroll, hysteresis), None
-    state, _ = jax.lax.scan(body, state, None, length=n_substeps,
+           hysteresis: float = 0.0, collide_every: int = 1) -> State:
+    """n_substeps of physics.
+
+    ``collide_every=k`` runs narrowphase collision once per k substeps and
+    reuses the contact set (points/normals/depths) for the k-1 following
+    substeps; Jacobians, reference accelerations, and the solve still use
+    each substep's own kinematics/velocities.  At the 2 ms timestep the
+    contact geometry moves O(v * 2 ms) ~ 0.1 mm between substeps, so k=2
+    is a fidelity-gated throughput lever (validate with
+    scripts_dev/replay_fidelity_sweep.py), k=1 (default) is exact
+    MuJoCo-rate collision (mj_step collides every substep).
+    """
+    if collide_every <= 1:
+      def body(s, _):
+        return self.substep(s, solver_iterations, solver_method,
+                            solver_unroll, hysteresis), None
+      state, _ = jax.lax.scan(body, state, None, length=n_substeps,
+                              unroll=unroll)
+      return state
+
+    assert n_substeps % collide_every == 0, (n_substeps, collide_every)
+
+    def outer(s, _):
+      contacts = None
+      for _i in range(collide_every):
+        s, contacts = self._substep_c(s, solver_iterations, solver_method,
+                                      solver_unroll, hysteresis, contacts)
+      return s, None
+    state, _ = jax.lax.scan(outer, state, None,
+                            length=n_substeps // collide_every,
                             unroll=unroll)
     return state
 

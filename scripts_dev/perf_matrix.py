@@ -6,10 +6,11 @@ the ~3 min axon tunnel init and scene compile are paid once.  Follows the
 axon measurement rules (forced host readbacks, per-iter perturbed inputs).
 
 Env overrides:
-  CONFIGS  semicolon list of method:iters[:select_k] (default
-           "psd:60;bb:60;bb:90;pallas:60"); select_k overrides the
-           contact active-set size (default: env auto, 128 for
-           pad2-cube2)
+  CONFIGS  semicolon list of method:iters[:select_k[:collide_every]]
+           (default "psd:60;bb:60;bb:90;pallas:60"); select_k overrides
+           the contact active-set size (default: env auto, 128 for
+           pad2-cube2); collide_every reuses narrowphase contacts for
+           that many substeps (default 1 = exact)
   SWEEP    comma list of batch sizes (default "256,512,1024")
   N        timed iters per config (default 8)
   SCENE    (default pad2-cube2)
@@ -85,9 +86,12 @@ def main():
     parts = cfg.split(':')
     method, iters = parts[0], int(parts[1])
     sel_k = int(parts[2]) if len(parts) > 2 else None
-    tag = f'{method}@{iters}' + (f' K={sel_k}' if sel_k else '')
+    ce = int(parts[3]) if len(parts) > 3 else 1
+    tag = (f'{method}@{iters}' + (f' K={sel_k}' if sel_k else '') +
+           (f' ce={ce}' if ce > 1 else ''))
     env = GeecoEnv(shapes=SCENE, settle_steps=2, solver_method=method,
-                   solver_iterations=iters, contact_select_k=sel_k)
+                   solver_iterations=iters, contact_select_k=sel_k,
+                   collide_every=ce)
     env.setup()
     for B in SWEEP:
       try:

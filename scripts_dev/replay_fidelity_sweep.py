@@ -44,15 +44,18 @@ CONFIGS = [
     ('apgd', 30, 32),
 ]
 if os.environ.get('CONFIGS'):
-  # e.g. CONFIGS="psd:60:96,psd:60:64" (baseline psd:60:128 auto-prepended)
-  CONFIGS = [('psd', 60, 128)] + [
-      (m, int(k), int(sk)) for m, k, sk in
-      (c.split(':') for c in os.environ['CONFIGS'].split(','))]
+  # e.g. CONFIGS="psd:60:96,psd:60:128:2" — method:iters:select_k[:ce]
+  # (baseline psd:60:128 ce=1 auto-prepended); ce = collide_every
+  CONFIGS = [('psd', 60, 128, 1)] + [
+      (p[0], int(p[1]), int(p[2]), int(p[3]) if len(p) > 3 else 1)
+      for p in (c.split(':') for c in os.environ['CONFIGS'].split(','))]
+CONFIGS = [c if len(c) == 4 else c + (1,) for c in CONFIGS]
 
 
-def run_config(fx, method, iters, sel_k):
+def run_config(fx, method, iters, sel_k, ce=1):
   env = make_env('pad2-cube2', frame_res=(64, 64), solver_method=method,
-                 solver_iterations=iters, contact_select_k=sel_k)
+                 solver_iterations=iters, contact_select_k=sel_k,
+                 collide_every=ce)
   env.setup()
   obj_qpos = fx['init_obj_qpos'].copy()
   obj_qpos[:, 2] -= 0.025
@@ -79,17 +82,17 @@ def run_config(fx, method, iters, sel_k):
 def main():
   fx = np.load(FIXTURE)
   ref_traj = None
-  print(f"{'method':>6} {'iters':>5} {'K':>4} {'success':>7} "
+  print(f"{'method':>6} {'iters':>5} {'K':>4} {'ce':>3} {'success':>7} "
         f"{'goal_dist':>9} {'qpos_drift':>10} {'finite':>6} {'sec':>6}")
-  for method, iters, sel_k in CONFIGS:
+  for method, iters, sel_k, ce in CONFIGS:
     t0 = time.time()
-    traj, succ, gd, finite = run_config(fx, method, iters, sel_k)
+    traj, succ, gd, finite = run_config(fx, method, iters, sel_k, ce)
     if ref_traj is None:
       ref_traj = traj
     drift = float(np.abs(traj - ref_traj).max())
-    print(f'{method:>6} {iters:>5} {sel_k:>4} {succ:>7.0f} {gd:>9.4f} '
-          f'{drift:>10.4f} {str(finite):>6} {time.time() - t0:>6.1f}',
-          flush=True)
+    print(f'{method:>6} {iters:>5} {sel_k:>4} {ce:>3} {succ:>7.0f} '
+          f'{gd:>9.4f} {drift:>10.4f} {str(finite):>6} '
+          f'{time.time() - t0:>6.1f}', flush=True)
 
 
 if __name__ == '__main__':

@@ -283,3 +283,27 @@ def test_rolling_friction_stops_ball(tmp_path):
   assert st_free.cs.ngrp == 4  # negligible default -> no rolling rows
   assert v_roll < 0.05, f'rolling friction did not stop the ball: {v_roll}'
   assert v_free > 0.3, f'ball should keep rolling: {v_free}'
+
+
+def test_collide_every_2_close_to_exact(tmp_path):
+  """collide_every=2 (contact reuse across substep pairs) must track the
+  exact per-substep collision trajectory closely on a dropping/settling
+  box: the contact set moves O(v * dt) ~ 0.1 mm between substeps."""
+  model, _ = _load(tmp_path, BOX_ON_PLANE.format(z0=0.06, mu=1.0))
+  st = build_stepper(model)
+  s0 = st.init_state(make_state(model))
+
+  def roll(s, ce):  # ce is static python control flow -> jit the closure
+    def body(s, _):
+      return st.step(s, n_substeps=20, collide_every=ce), s.qpos
+    return jax.lax.scan(body, s, None, length=15)
+
+  _, traj1 = jax.jit(lambda s: roll(s, 1))(s0)
+  _, traj2 = jax.jit(lambda s: roll(s, 2))(s0)
+  # impact instant may differ by one substep; positions must agree to
+  # sub-millimeter over the 0.6 s drop-and-settle
+  err = np.abs(np.asarray(traj1[:, :3]) - np.asarray(traj2[:, :3])).max()
+  assert err < 1e-3, f'collide_every=2 position drift {err}'
+  # both end at the same rest height
+  np.testing.assert_allclose(np.asarray(traj1[-1, 2]),
+                             np.asarray(traj2[-1, 2]), atol=2e-4)
