@@ -102,6 +102,10 @@ def main():
     env_kwargs['contact_select_k'] = int(os.environ['BENCH_SELECT_K'])
   if 'BENCH_COLLIDE_EVERY' in os.environ:
     env_kwargs['collide_every'] = int(os.environ['BENCH_COLLIDE_EVERY'])
+  if 'BENCH_SUBSTEP_UNROLL' in os.environ:
+    env_kwargs['substep_unroll'] = int(os.environ['BENCH_SUBSTEP_UNROLL'])
+  if 'BENCH_SOLVER_UNROLL' in os.environ:
+    env_kwargs['solver_unroll'] = int(os.environ['BENCH_SOLVER_UNROLL'])
   env = GeecoEnv(shapes='pad2-cube2', settle_steps=2, **env_kwargs)
   env.setup()
 

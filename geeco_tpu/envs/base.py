@@ -164,7 +164,8 @@ class GeecoEnv:
                settle_steps: int = 10, solver_iterations: int = 60,
                solver_method: str = 'psd', hysteresis: float = 0.0,
                contact_select_k: Optional[int] = None,
-               collide_every: int = 1,
+               collide_every: int = 1, substep_unroll: int = 1,
+               solver_unroll: int = 1,
                renderer_kwargs: Optional[dict] = None):
     import os
     self.shapes = shapes
@@ -184,6 +185,8 @@ class GeecoEnv:
     self.solver_method = solver_method
     self.hysteresis = hysteresis
     self.collide_every = collide_every
+    self.substep_unroll = substep_unroll
+    self.solver_unroll = solver_unroll
     h, w = frame_res
     self.renderer = build_renderer(self.model, self.assets, width=w,
                                    height=h, **(renderer_kwargs or {}))
@@ -285,7 +288,9 @@ class GeecoEnv:
                                  self.solver_iterations,
                                  solver_method=self.solver_method,
                                  hysteresis=self.hysteresis,
-                                 collide_every=self.collide_every), None
+                                 collide_every=self.collide_every,
+                                 unroll=self.substep_unroll,
+                                 solver_unroll=self.solver_unroll), None
       s, _ = jax.lax.scan(body, s, None, length=self.settle_steps)
       return s
 
@@ -324,7 +329,9 @@ class GeecoEnv:
                                self.solver_iterations,
                                solver_method=self.solver_method,
                                hysteresis=self.hysteresis,
-                               collide_every=self.collide_every), None
+                               collide_every=self.collide_every,
+                               unroll=self.substep_unroll,
+                               solver_unroll=self.solver_unroll), None
     phys, _ = jax.lax.scan(body, phys, None, length=self.settle_steps)
     return phys
 
@@ -403,7 +410,9 @@ class GeecoEnv:
     phys = self.stepper.step(phys, self.n_substeps, self.solver_iterations,
                              solver_method=self.solver_method,
                              hysteresis=self.hysteresis,
-                             collide_every=self.collide_every)
+                             collide_every=self.collide_every,
+                             unroll=self.substep_unroll,
+                             solver_unroll=self.solver_unroll)
     return es.replace(phys=phys, ts=es.ts + 1)
 
   # ------------------------------------------------------------- readouts
