@@ -165,7 +165,7 @@ class GeecoEnv:
                solver_method: str = 'psd', hysteresis: float = 0.0,
                contact_select_k: Optional[int] = None,
                collide_every: int = 1, substep_unroll: int = 1,
-               solver_unroll: int = 1,
+               solver_unroll: int = 1, contact_select: str = 'topk',
                renderer_kwargs: Optional[dict] = None):
     import os
     self.shapes = shapes
@@ -181,7 +181,8 @@ class GeecoEnv:
       n_free = sum(1 for t in self.model.jnt_type if t == 0)  # FREE
       contact_select_k = 128 + 16 * max(0, n_free - 4)
     self.stepper = build_stepper(self.model,
-                                 contact_select_k=contact_select_k)
+                                 contact_select_k=contact_select_k,
+                                 select_mode=contact_select)
     self.solver_method = solver_method
     self.hysteresis = hysteresis
     self.collide_every = collide_every

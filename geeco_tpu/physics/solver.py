@@ -26,7 +26,7 @@ see tests/test_physics_contact.py::test_rolling_friction_stops_ball).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,13 @@ class ConstraintStatic(NamedTuple):
   invweight: np.ndarray     # [ne] reference-pose inverse weight per row
   ncon_sel: int             # active-set size (top-K contacts solved)
   ngrp: int                 # contact row groups: 4, or 6 with rolling rows
+  # quota selection: static tuple of (candidate-index array, k) per group,
+  # or None for plain global top-K.  Groups partition the candidate rows by
+  # the free body they constrain (robot/static rows in their own group), so
+  # active-set COMPOSITION for a resting body cannot be perturbed by
+  # depth-rank churn on robot rows — the root cause of mesh-scene rest
+  # creep (STATUS.md "hull rest creep").
+  quota_sel: Optional[Tuple[Tuple[np.ndarray, int], ...]] = None
 
 
 def _body_invweights(model: Model, anc_mask: np.ndarray) -> np.ndarray:
@@ -97,11 +104,64 @@ def _dof_invweights(model: Model, anc_mask: np.ndarray) -> np.ndarray:
   return np.diag(Minv).astype(np.float32)
 
 
+def _quota_groups(model: Model, b1: np.ndarray, b2: np.ndarray,
+                  quota_obj: int, quota_mesh: int, quota_robot: int
+                  ) -> Tuple[Tuple[np.ndarray, int], ...]:
+  """Partition candidate contact rows into per-free-body quota groups.
+
+  Row -> group: the free body it constrains (rows between two free bodies
+  go to the lower body id); rows touching no free body (robot/table/walls)
+  form the 'robot' group.  Bodies with mesh-hull geoms get the larger
+  ``quota_mesh`` budget (hull face manifolds produce more simultaneous
+  rows than a box's 4-point manifold).
+  """
+  from ..core.model import FREE, MESH
+  free = {int(model.jnt_bodyid[j]) for j in range(model.njnt)
+          if model.jnt_type[j] == FREE}
+  g_body = np.asarray(model.geom_bodyid)
+  g_type = np.asarray(model.geom_type)
+  has_mesh = {b: bool(np.any((g_body == b) & (g_type == MESH)))
+              for b in free}
+  groups: dict = {b: [] for b in sorted(free)}
+  groups['robot'] = []
+  for i in range(len(b1)):
+    f1 = int(b1[i]) in free
+    f2 = int(b2[i]) in free
+    if f1 and f2:
+      groups[min(int(b1[i]), int(b2[i]))].append(i)
+    elif f1:
+      groups[int(b1[i])].append(i)
+    elif f2:
+      groups[int(b2[i])].append(i)
+    else:
+      groups['robot'].append(i)
+  out = []
+  for key, rows in groups.items():
+    if not rows:
+      continue
+    if key == 'robot':
+      k = min(len(rows), quota_robot)
+    else:
+      k = min(len(rows), quota_mesh if has_mesh[key] else quota_obj)
+    out.append((np.asarray(rows, np.int32), k))
+  return tuple(out)
+
+
 def constraint_static(model: Model, anc_mask: np.ndarray,
                       select_k: int = 128,
-                      rolling: str | bool = 'auto') -> ConstraintStatic:
+                      rolling: str | bool = 'auto',
+                      select_mode: str = 'topk',
+                      quota_obj: int = 24, quota_mesh: int = 48,
+                      quota_robot: int = 32) -> ConstraintStatic:
   b1, b2, fric, solref, solimp, condim = C.contact_params(model)
   ncon = len(b1)
+  quota_sel = None
+  if select_mode == 'quota' and ncon:
+    quota_sel = _quota_groups(model, b1, b2, quota_obj, quota_mesh,
+                              quota_robot)
+    select_k = sum(k for _, k in quota_sel)
+  elif select_mode not in ('topk', 'quota'):
+    raise ValueError(f'unknown select_mode {select_mode!r}')
   ncon_sel = min(ncon, select_k) if select_k else ncon
   if rolling == 'auto':
     # emit rolling rows only where they are dynamically meaningful (see
@@ -152,6 +212,7 @@ def constraint_static(model: Model, anc_mask: np.ndarray,
       invweight=invweight,
       ncon_sel=ncon_sel,
       ngrp=ngrp,
+      quota_sel=quota_sel,
   )
 
 
@@ -222,7 +283,16 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
       # STATUS.md "hull rest creep").  Full-layout group 0 = normal rows.
       warm_n = jax.lax.stop_gradient(state.efc_force[:cs.ncon])
       score = score - hysteresis * (warm_n > 0.0).astype(score.dtype)
-    _, sel_idx = jax.lax.top_k(-score, K)
+    if cs.quota_sel is not None:
+      # per-free-body quota selection: top-k within each static group so
+      # one body's active rows can't evict another's (see quota_sel doc)
+      parts = []
+      for idx, k in cs.quota_sel:
+        _, top = jax.lax.top_k(-score[jnp.asarray(idx)], k)
+        parts.append(jnp.asarray(idx)[top])
+      sel_idx = jnp.concatenate(parts)
+    else:
+      _, sel_idx = jax.lax.top_k(-score, K)
     pts = contacts.pos[sel_idx]
     n = contacts.normal[sel_idx]
     dist = contacts.dist[sel_idx]

@@ -104,8 +104,12 @@ class Stepper(NamedTuple):
 
 
 def build_stepper(model: Model, contact_select_k: int = 128,
-                  rolling: str | bool = 'auto') -> Stepper:
+                  rolling: str | bool = 'auto',
+                  select_mode: str = 'topk', quota_obj: int = 24,
+                  quota_mesh: int = 48, quota_robot: int = 32) -> Stepper:
   anc_mask = K.ancestor_mask(model)
   cs = S.constraint_static(model, anc_mask, select_k=contact_select_k,
-                           rolling=rolling)
+                           rolling=rolling, select_mode=select_mode,
+                           quota_obj=quota_obj, quota_mesh=quota_mesh,
+                           quota_robot=quota_robot)
   return Stepper(model=model, anc_mask=anc_mask, cs=cs, ne=cs.ne)

@@ -4,9 +4,11 @@ a config only graduates to the bench/env defaults if every fixture passes
 the same criteria as tests/test_replay_parity.py.
 
 Env overrides:
-  CONFIGS  comma list of method:iters[:select_k[:collide_every]]
-           (default "psd:60,psd:30,apgd:20,psd:60:0:2,apgd:30:0:2";
-           select_k 0 = env auto)
+  CONFIGS      comma list of method:iters[:select_k[:collide_every]]
+               (default "psd:60,psd:30,apgd:20,psd:60:0:2,apgd:30:0:2";
+               select_k 0 = env auto)
+  SELECT_MODE  'topk' (default) or 'quota' — contact active-set selection
+               for every config in this run
 """
 
 import os
@@ -36,13 +38,18 @@ FIXTURES = ('mujoco_pickplace_pad2cube2.npz',
 
 CONFIGS = os.environ.get(
     'CONFIGS', 'psd:60,psd:30,apgd:20,psd:60:0:2,apgd:30:0:2')
+SELECT_MODE = os.environ.get('SELECT_MODE', 'topk')
+if os.environ.get('FIXTURES'):   # substring filter, e.g. FIXTURES=nutcone
+  FIXTURES = tuple(f for f in FIXTURES
+                   if any(s in f for s in os.environ['FIXTURES'].split(',')))
 
 
 def run_fixture(fname, method, iters, sel_k, ce):
   fx = np.load(os.path.join(FIXTURE_DIR, fname))
   env = make_env(str(fx['shapes']), frame_res=(64, 64),
                  solver_method=method, solver_iterations=iters,
-                 contact_select_k=sel_k or None, collide_every=ce)
+                 contact_select_k=sel_k or None, collide_every=ce,
+                 contact_select=SELECT_MODE)
   env.setup()
   obj_qpos = fx['init_obj_qpos'].copy()
   obj_qpos[:, 2] -= 0.025
@@ -88,8 +95,9 @@ def main():
     method, iters = p[0], int(p[1])
     sel_k = int(p[2]) if len(p) > 2 else 0
     ce = int(p[3]) if len(p) > 3 else 1
-    tag = f'{method}@{iters}' + (f' K={sel_k}' if sel_k else '') + \
-        (f' ce={ce}' if ce > 1 else '')
+    tag = (f'{method}@{iters}' + (f' K={sel_k}' if sel_k else '') +
+           (f' ce={ce}' if ce > 1 else '') +
+           (' quota' if SELECT_MODE == 'quota' else ''))
     all_ok = True
     for fname in FIXTURES:
       t0 = time.time()
