@@ -114,7 +114,9 @@ def run_collect(args):
   env = build_env(args)
   specs = _load_specs(env, args)
   expert = make_expert(env)
-  with_frames = args.rendering_mode == 'tfrecord'
+  # viewer mode needs frames too (live playback of the recorded episode,
+  # the TPU stand-in for the reference GLFW window: pickplace.py:590-591)
+  with_frames = args.rendering_mode in ('tfrecord', 'viewer')
   fast = getattr(args, 'dataset_formats', 'all') == 'npz'
   record_fn = make_record_fn(env, with_frames=with_frames,
                              with_depth=not fast)
@@ -158,6 +160,10 @@ def run_collect(args):
 
   video = VideoRecorder('collect', wrk_dir) \
       if args.rendering_mode == 'video' else None
+  viewer = None
+  if args.rendering_mode == 'viewer':
+    from ..render.viewer import TerminalViewer
+    viewer = TerminalViewer()
 
   rng = jax.random.PRNGKey(args.seed)
   successes = []
@@ -217,6 +223,9 @@ def run_collect(args):
           for frame in rec_k['rgb']:
             video.feed(frame)
           video.flush()
+        if viewer is not None and k == 0 and 'rgb' in rec_k:
+          for t, frame in enumerate(rec_k['rgb']):
+            viewer.feed(frame, hud=f'episode {episode_id} t={t}')
         success = float(metrics['task_success'][k])
         successes.append(success)
         print(f'episode {episode_id}: task_success={success:.0f} '
@@ -225,6 +234,8 @@ def run_collect(args):
         fu.result()  # surface writer errors
   if video is not None:
     video.finalize()
+  if viewer is not None:
+    viewer.close()
   if successes:
     print(f'>>> expert success rate: {np.mean(successes) * 100:.2f}% '
           f'({len(successes)} episodes)')
@@ -495,6 +506,11 @@ def run_controller(args):
   render_jit = env.jit('render')
   eval_jit = env.jit('eval_metrics')
 
+  viewer = None
+  if args.rendering_mode == 'viewer':  # live display (pickplace.py:590-591)
+    from ..render.viewer import TerminalViewer
+    viewer = TerminalViewer()
+
   rng = jax.random.PRNGKey(args.seed)
   eval_results = []
   for i in range(args.start_idx, args.end_idx):
@@ -518,6 +534,8 @@ def run_controller(args):
       rgb = np.asarray(rgb)
       if video is not None:
         video.feed(rgb)
+      if viewer is not None:
+        viewer.feed(rgb, hud=f'episode {episode_id} t={t}')
       obs_frame = rgb.astype(np.float32) / 255.0
       if args.observation_format == 'rgbd':
         obs_frame = np.concatenate(
@@ -545,6 +563,8 @@ def run_controller(args):
       print(f'>>> Current average success rate for {k}: {avg:.2f}')
     writer.writerow(spec_row)
   csv_report.close()
+  if viewer is not None:
+    viewer.close()
 
   with open(os.path.join(wrk_dir, 'final_results.txt'), 'w') as fp:
     for k in ('obj_vicinity', 'grasp_success', 'task_success'):

@@ -1,52 +1,63 @@
-"""Viewer smoke tests (playback mode; reference parity: the interactive
-debug viewer of src/geeco_gym/pickplace.py:590-591, served as a local web
-page instead of a GL window)."""
+"""Terminal debug viewer: ANSI rendering + scripted interactive session.
 
-import json
-import threading
-import urllib.request
-from http.server import ThreadingHTTPServer
+The viewer is the rebuild's counterpart of the reference GLFW window
+(src/geeco_gym/pickplace.py:590-591); these tests exercise the frame->
+ANSI conversion and a scripted drive of the tiny env (no TTY needed).
+"""
+
+import io
 
 import numpy as np
-import pytest
 
-from geeco_tpu.run.viewer import EpisodeSource, make_handler
-
-
-@pytest.fixture(scope='module')
-def served_episode(tmp_path_factory):
-  path = tmp_path_factory.mktemp('ep') / 'replay_buffer_0001.npz'
-  rng = np.random.default_rng(0)
-  np.savez(path,
-           rgb=rng.integers(0, 255, (7, 16, 16, 3), dtype=np.uint8),
-           cmd=rng.normal(size=(7, 4)).astype(np.float32),
-           ctrl=rng.normal(size=(7, 2)).astype(np.float32),
-           obj_qpos=rng.normal(size=(7, 7)).astype(np.float32),
-           ts=np.arange(7, dtype=np.float32))
-  src = EpisodeSource(str(path))
-  server = ThreadingHTTPServer(('127.0.0.1', 0), make_handler(src))
-  t = threading.Thread(target=server.serve_forever, daemon=True)
-  t.start()
-  yield f'http://127.0.0.1:{server.server_address[1]}', src
-  server.shutdown()
+from geeco_tpu.render.viewer import TerminalViewer, frame_to_ansi
 
 
-def test_meta_and_page(served_episode):
-  url, src = served_episode
-  meta = json.loads(urllib.request.urlopen(f'{url}/meta').read())
-  assert meta['n_steps'] == 7 and not meta['live']
-  assert len(meta['cmd']) == 7 and len(meta['cmd'][0]) == 4
-  assert set(meta['scalars']) >= {'cmd', 'ctrl', 'obj_qpos', 'ts'}
-  page = urllib.request.urlopen(f'{url}/').read().decode()
-  assert 'geeco_tpu viewer' in page and '/live/step' in page
+def test_frame_to_ansi_dimensions_and_colors():
+  frame = np.zeros((32, 48, 3), np.uint8)
+  frame[:16] = (255, 0, 0)      # top half red
+  frame[16:] = (0, 0, 255)      # bottom half blue
+  text = frame_to_ansi(frame, max_cols=48, max_rows=16)
+  lines = text.split('\n')
+  assert len(lines) == 16                      # 32 px rows -> 16 cell rows
+  assert '▀' in lines[0]
+  assert '38;2;255;0;0' in lines[0]            # red foreground on top
+  assert '38;2;0;0;255' in lines[-1]           # blue rows at the bottom
+  # every line resets its SGR state
+  assert all(l.endswith('\x1b[0m') for l in lines)
 
 
-def test_frame_png_roundtrip(served_episode):
-  url, src = served_episode
-  from PIL import Image
-  import io
-  raw = urllib.request.urlopen(f'{url}/frame/3').read()
-  im = np.asarray(Image.open(io.BytesIO(raw)))
-  np.testing.assert_array_equal(im, src.rgb[3])
-  # out-of-range indices clamp instead of erroring
-  urllib.request.urlopen(f'{url}/frame/999').read()
+def test_frame_to_ansi_accepts_float_frames():
+  frame = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+  text = frame_to_ansi(frame, max_cols=16, max_rows=8)
+  assert text.count('\n') == 7
+
+
+def test_terminal_viewer_noop_without_tty():
+  viewer = TerminalViewer()   # stdout under pytest is not a TTY
+  viewer.feed(np.zeros((8, 8, 3), np.uint8))
+  viewer.close()
+  assert viewer.frames_shown == 1
+
+
+def test_terminal_viewer_writes_to_file():
+  buf = io.StringIO()
+  viewer = TerminalViewer(fps=0, file=buf, max_cols=8, max_rows=4)
+  viewer.feed(np.full((8, 8, 3), 128, np.uint8), hud='t=0')
+  viewer.close()
+  out = buf.getvalue()
+  assert '▀' in out and 't=0' in out
+
+
+def test_scripted_viewer_session_tiny_env():
+  """Drive the interactive CLI with a scripted key sequence on CPU."""
+  import types
+
+  from geeco_tpu.run import viewer as cli
+
+  args = types.SimpleNamespace(
+      shapes='pad1-cube1', frame_res=(32, 32), seed=0, move=0.5,
+      keys='we gxq', out_dir='.', n_substeps=4, solver_iterations=8,
+      fps=0.0)
+  steps = cli.main(args)
+  # 'w', 'e', ' ', 'g' step; 'x' resets t to 0; 'q' quits
+  assert steps == 0
