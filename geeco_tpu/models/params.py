@@ -53,6 +53,14 @@ E2E_VMC_DEFAULT_PARAM_DICT: Dict[str, Any] = {
     # the reference's raw stack degenerates when rebuilt); 'none' = raw
     # reference architecture.
     'encoder_norm': 'group',
+    # episode-mode command-loss weighting across an episode's windows:
+    #   'none'     uniform (reference semantics: every window equal)
+    #   'cmd_mag'  weight each window by its command magnitude (clipped,
+    #     renormalized to mean 1) — a 100-step expert episode is ~70%
+    #     near-idle tail, so the balanced episode gradient dilutes the ~30
+    #     large-action approach windows; this re-focuses the command losses
+    #     on them without changing the loss scale.
+    'loss_weighting': 'none',
 }
 
 
@@ -81,6 +89,7 @@ class E2EVMCConfig:
   compute_dtype: str = 'bfloat16'
   train_carry: str = 'stateless'
   encoder_norm: str = 'group'
+  loss_weighting: str = 'none'
 
   def asdict(self) -> Dict[str, Any]:
     return dataclasses.asdict(self)

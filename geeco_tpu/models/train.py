@@ -334,10 +334,33 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
     _, eps = jax.lax.scan(step, carry0, feats_n)
     return eps  # dict of [N_pad, B, ...]
 
-  def _masked_mean(x, mask):
-    # x [N, B, ...], mask [N]
+  def _masked_mean(x, mask, w=None):
+    # x [N, B, ...], mask [N], w optional per-sample weights [N, B]
     m = mask.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+    if w is not None:  # w is renormalized to masked mean 1, so the
+      m = m * w.reshape(w.shape + (1,) * (x.ndim - 2))  # denominator holds
     return jnp.sum(x * m) / (jnp.sum(mask) * float(np.prod(x.shape[1:])))
+
+  def _window_weights(batch, mask, pad):
+    """Per-window command-loss weights [N_pad, B] (config.loss_weighting).
+
+    'cmd_mag': weight ∝ the window's labeled command magnitude, clipped to
+    [0.25, 4] x mean and renormalized to masked mean 1 — up-weights the
+    ~30 large-action approach windows an expert episode has against its
+    ~70 near-idle tail windows without changing the loss scale.
+    """
+    if config.loss_weighting == 'none':
+      return None
+    if config.loss_weighting != 'cmd_mag':
+      raise ValueError(f'unknown loss_weighting {config.loss_weighting!r}')
+    cmd = pad(jnp.swapaxes(batch['cmd'], 0, 1))          # [N_pad, B, 4]
+    mag = (jnp.linalg.norm(cmd[..., :3], axis=-1) +
+           jnp.abs(cmd[..., 3]))                          # [N_pad, B]
+    m = mask.astype(mag.dtype)[:, None]
+    mean = jnp.sum(mag * m) / jnp.maximum(jnp.sum(m), 1.0)
+    w = jnp.clip(mag / jnp.maximum(mean, 1e-8), 0.25, 4.0)
+    w = w / (jnp.sum(w * m) / jnp.maximum(jnp.sum(m), 1.0))
+    return w
 
   def _loss_all(ep, batch):
     """Per-part masked losses over [N_pad, B, ...] predictions."""
@@ -353,14 +376,17 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
     else:
       pad = lambda x: x
     mse = lambda a, b: _masked_mean(jnp.square(a - pad(b)), mask)
+    # command losses optionally re-weighted toward large-action windows
+    w = _window_weights(batch, mask, pad)
+    msew = lambda a, b: _masked_mean(jnp.square(a - pad(b)), mask, w)
     parts = {}
     if config.control_mode == 'cartesian':
       cmd = lbl('cmd')
-      parts['loss_cmd_ee'] = mse(ep['pred_cmd_ee'], cmd[..., :3])
+      parts['loss_cmd_ee'] = msew(ep['pred_cmd_ee'], cmd[..., :3])
       grp = jnp.rint(pad(cmd)[..., 3]).astype(jnp.int32) + 1
       oh = jax.nn.one_hot(grp, config.num_grp_states)
       ce = optax.softmax_cross_entropy(ep['logits_cmd_grp'], oh)  # [N, B]
-      parts['loss_cmd_grp'] = _masked_mean(ce, mask)
+      parts['loss_cmd_grp'] = _masked_mean(ce, mask, w)
       parts['loss_pos_ee'] = mse(ep['pred_aux_ee'], lbl('pos_ee'))
       parts['loss_pos_obj'] = mse(ep['pred_aux_obj'], lbl('pos_obj'))
       loss = (parts['loss_cmd_ee'] + parts['loss_cmd_grp'] +
@@ -369,10 +395,10 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
       acc = (jnp.argmax(ep['logits_cmd_grp'], -1) == grp).astype(jnp.float32)
       parts['acc_cmd_grp'] = _masked_mean(acc, mask)
     else:
-      parts['loss_cmd_vel'] = mse(ep['pred_cmd_vel'], lbl('vel_target'))
-      parts['loss_cmd_ee'] = mse(ep['pred_cmd_ee'],
-                                 lbl('ee_target')[..., :3])
-      parts['loss_cmd_grp'] = mse(ep['pred_cmd_grp'], lbl('grp_target'))
+      parts['loss_cmd_vel'] = msew(ep['pred_cmd_vel'], lbl('vel_target'))
+      parts['loss_cmd_ee'] = msew(ep['pred_cmd_ee'],
+                                  lbl('ee_target')[..., :3])
+      parts['loss_cmd_grp'] = msew(ep['pred_cmd_grp'], lbl('grp_target'))
       parts['loss_pos_ee'] = mse(ep['pred_aux_ee'], lbl('pos_ee'))
       parts['loss_pos_obj'] = mse(ep['pred_aux_obj'], lbl('pos_obj'))
       loss = sum(v for k, v in parts.items() if k.startswith('loss_'))

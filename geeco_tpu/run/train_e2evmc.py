@@ -56,6 +56,11 @@ ARGPARSER.add_argument('--train_mode', type=str, default='episode',
 ARGPARSER.add_argument('--episodes_per_batch', type=int, default=8)
 ARGPARSER.add_argument('--chunk_windows', type=int, default=8,
                        help='windows per conv mega-pass in episode mode')
+ARGPARSER.add_argument('--loss_weighting', type=str, default='none',
+                       choices=['none', 'cmd_mag'],
+                       help='episode-mode command-loss window weighting '
+                            '(cmd_mag re-focuses on large-action approach '
+                            'windows; see models/params.py)')
 ARGPARSER.add_argument('--aug_shift', type=int, default=0,
                        help='train-time random per-episode image '
                             'translation in pixels (episode mode only)')
@@ -101,6 +106,7 @@ def main(args):
         'batch_size': args.batch_size,
         'lr': args.lr,
         'lambda_aux': args.lambda_aux,
+        'loss_weighting': args.loss_weighting,
     })
     save_model_config(config, config_path)
     print(f'>>> Saved model config to {config_path}')

@@ -266,3 +266,34 @@ def test_train_state_roundtrip(ds, tmp_path):
   assert len(mu1) == len(mu2)
   assert all(np.allclose(a, b) for a, b in zip(mu1, mu2)
              if hasattr(a, 'shape'))
+
+
+def test_loss_weighting_cmd_mag(ds):
+  """cmd_mag re-weights command losses, leaves aux losses untouched."""
+  b = next(iter(D.episode_pipeline(ds, 'default', 'train',
+                                   batch_episodes=2, window_size=K,
+                                   fetch_target=True, seed=0)))
+  b = jax.tree.map(jnp.asarray, b)
+  outs = {}
+  for lw in ('none', 'cmd_mag'):
+    cfg = _config(loss_weighting=lw)
+    init_fn, _, eval_step, _ = make_episode_train_fns(cfg, True,
+                                                      chunk_windows=4)
+    ts = init_fn(jax.random.PRNGKey(3), 2)
+    k = ts.params['LSTMDecoder']['pred_cmd_ee']['kernel']
+    ts.params['LSTMDecoder']['pred_cmd_ee']['kernel'] = \
+        jnp.ones_like(k) * 0.05
+    outs[lw] = eval_step(ts, b)
+  for key, m in outs.items():
+    for part, v in m.items():
+      assert np.isfinite(float(v)), (key, part)
+  # same params: aux (unweighted) losses identical, command losses differ
+  np.testing.assert_allclose(float(outs['none']['loss_pos_ee']),
+                             float(outs['cmd_mag']['loss_pos_ee']),
+                             rtol=1e-6)
+  assert abs(float(outs['none']['loss_cmd_ee']) -
+             float(outs['cmd_mag']['loss_cmd_ee'])) > 1e-7
+  # weights are renormalized to mean 1: same order of magnitude
+  r = float(outs['cmd_mag']['loss_cmd_ee']) / \
+      max(float(outs['none']['loss_cmd_ee']), 1e-9)
+  assert 0.2 < r < 5.0, r
