@@ -58,7 +58,8 @@ for attempt in $(seq 1 40); do
       --dataset_dir "$DS" --model_dir "$MODEL" \
       --goal_condition target --proc_obs dynimg --proc_tgt dyndiff \
       --lr 2e-4 --train_mode episode --episodes_per_batch 8 \
-      --aug_shift 10 --num_epochs 100 --max_total_steps "$STEPS" \
+      --aug_shift 10 --loss_weighting cmd_mag \
+      --num_epochs 100 --max_total_steps "$STEPS" \
       --ckpt_steps 200 --log_steps 25 --max_rss_gb 95 --seed 0
   rc=$?
   echo "=== [pipeline] trainer exited rc=$rc (attempt $attempt)"
