@@ -423,6 +423,26 @@ def make_constraints(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
   )
 
 
+def block_ids(cs: ConstraintStatic) -> Optional[np.ndarray]:
+  """Static row -> island-block id over the selected inequality rows.
+
+  Blocks follow the quota partition (one per free body + one for
+  robot/static rows, see _quota_groups); joint-limit rows get their own
+  extra block.  Only meaningful under quota selection, where slot j of
+  sel_idx statically belongs to quota group q(j); with global top-K the
+  slot composition is dynamic and no static blocking exists.
+  Layout matches _row_order: [ngrp x K contact rows, 2 x nlim limit rows].
+  """
+  if cs.quota_sel is None:
+    return None
+  slot_block = np.concatenate(
+      [np.full(k, gi, np.int32) for gi, (_, k) in enumerate(cs.quota_sel)]
+  ) if cs.quota_sel else np.zeros(0, np.int32)
+  nb = len(cs.quota_sel)
+  return np.concatenate(
+      [np.tile(slot_block, cs.ngrp), np.full(2 * cs.nlim, nb, np.int32)])
+
+
 def _row_order(ncon: int, nlim: int, neq: int, ngrp: int = 4) -> dict:
   """Index ranges of each row family in a concatenated layout."""
   off = 0
@@ -457,7 +477,8 @@ def scatter_forces(cs: ConstraintStatic, con: Constraints,
 
 
 def _iterate(Aop, project, f0: jax.Array, b: jax.Array, precond: jax.Array,
-             iterations: int, method: str, unroll: int = 1) -> jax.Array:
+             iterations: int, method: str, unroll: int = 1,
+             bid: Optional[jax.Array] = None, nblocks: int = 0) -> jax.Array:
   """Run the projected iteration on min 1/2 f^T A f + b^T f s.t. cone.
 
   Methods (all touch only cone/limit rows through ``project``):
@@ -472,7 +493,74 @@ def _iterate(Aop, project, f0: jax.Array, b: jax.Array, precond: jax.Array,
          half the op chain of psd/cg on TPU — at the cost of non-monotone
          convergence (safeguarded by falling back to the preconditioned
          gradient step when curvature information is unusable).
+
+  Block variants (``psd_block``/``bb_block``, require ``bid``/``nblocks``):
+  per-ISLAND step sizes over the static quota-group row blocks (each free
+  body's rows, robot rows, limit rows — see ConstraintStatic.quota_sel).
+  A single global step size couples otherwise-independent islands: a rank
+  change on a robot row changes alpha for everyone, perturbing the forces
+  of a body at rest every substep — the root cause of mesh-scene rest
+  creep (STATUS.md "hull rest creep").  With per-block alphas, islands
+  whose rows never share dofs take their EXACT independent steps (for
+  decoupled blocks the safeguarded composite step reduces to alpha == 1
+  per block); coupled blocks (a grasped object + the gripper) degrade
+  gracefully:
+    psd_block  per-block exact steps composed into one direction, then a
+               global exact line search along it — monotone like psd, one
+               extra operator application (3/iter).
+    bb_block   per-block Barzilai-Borwein step sizes from per-block (s, y)
+               — still ONE operator application per iteration.
   """
+  if method in ('psd_block', 'bb_block'):
+    assert bid is not None and nblocks > 0, (
+        f'{method} requires quota contact selection (contact_select='
+        f"'quota') so row blocks are static")
+    seg = lambda x: jax.ops.segment_sum(x, bid, num_segments=nblocks)
+
+  if method == 'psd_block':
+    def body(f, _):
+      g = Aop(f) + b
+      d = precond * g
+      Ad = Aop(d)
+      num_b = seg(g * d)
+      den_b = seg(d * Ad)
+      alpha_b = jnp.where(den_b > 1e-12, num_b / jnp.maximum(den_b, 1e-12),
+                          0.0)
+      dp = alpha_b[bid] * d
+      Adp = Aop(dp)  # A(D d) != D (A d): the composite needs its own Aop
+      den = jnp.dot(dp, Adp)
+      alpha = jnp.where(den > 1e-12, jnp.dot(g, dp) / jnp.maximum(
+          den, 1e-12), 0.0)
+      return project(f - alpha * dp), None
+    f, _ = jax.lax.scan(body, f0, None, length=iterations, unroll=unroll)
+    return f
+
+  if method == 'bb_block':
+    # seed the (s, y) history with one exact global psd step
+    g0 = Aop(f0) + b
+    d0 = precond * g0
+    Ad0 = Aop(d0)
+    den0 = jnp.dot(d0, Ad0)
+    alpha0 = jnp.where(den0 > 1e-12, jnp.dot(g0, d0) / jnp.maximum(
+        den0, 1e-12), 0.0)
+    f1 = project(f0 - alpha0 * d0)
+
+    def body(carry, _):
+      f, f_prev, g_prev, alpha_prev_b = carry
+      g = Aop(f) + b                      # the ONLY operator application
+      s = f - f_prev
+      y = g - g_prev
+      sy_b = seg(s * y)
+      ss_b = seg(s * s / precond)         # s^T P^-1 s per block (BB1)
+      alpha_b = jnp.where(sy_b > 1e-14, ss_b / jnp.maximum(sy_b, 1e-14),
+                          alpha_prev_b)
+      f_new = project(f - alpha_b[bid] * precond * g)
+      return (f_new, f, g, alpha_b), None
+    init = (f1, f0, g0,
+            jnp.full((nblocks,), jnp.maximum(alpha0, 1e-8), f0.dtype))
+    (f, _, _, _), _ = jax.lax.scan(body, init, None, length=iterations,
+                                   unroll=unroll)
+    return f
   if method == 'psd':
     def body(f, _):
       g = Aop(f) + b
@@ -580,6 +668,17 @@ def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
   if ne_sel == 0:
     return jnp.zeros(cs.ne), smooth.qacc_smooth
 
+  bid = None
+  nblocks = 0
+  if method in ('psd_block', 'bb_block'):
+    bid_np = block_ids(cs)
+    if bid_np is None:
+      raise ValueError(
+          f"{method!r} requires quota contact selection "
+          "(constraint_static(select_mode='quota'))")
+    bid = jnp.asarray(bid_np)
+    nblocks = int(bid_np.max()) + 1 if bid_np.size else 1
+
   chol = (smooth.chol, False)
   X = jax.scipy.linalg.cho_solve(chol, con.J.T)   # [nv, ne_sel] = Minv J^T
   diagA = jnp.einsum('ev,ve->e', con.J, X)
@@ -650,7 +749,8 @@ def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
               con.mu_t, con.mu_tor, con_active, lim_active)
     else:
       fI = _iterate(A_red, project, f0[:nI], b_red, precond, iterations,
-                    'psd' if method == 'pallas' else method, unroll)
+                    'psd' if method == 'pallas' else method, unroll,
+                    bid=bid, nblocks=nblocks)
     fE = -A_EE_inv @ (b_E + A_IE.T @ fI)
     f = jnp.concatenate([fI, fE])
   else:
@@ -667,7 +767,8 @@ def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
         return con.J @ (X @ f) + R * f
 
       f = _iterate(A_full, project, f0, b, precond, iterations,
-                   'psd' if method == 'pallas' else method, unroll)
+                   'psd' if method == 'pallas' else method, unroll,
+                   bid=bid, nblocks=nblocks)
 
   qacc = smooth.qacc_smooth + X @ f
   return scatter_forces(cs, con, f), qacc
