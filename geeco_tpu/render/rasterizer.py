@@ -549,18 +549,67 @@ def _raster_jnp(r: Renderer, planes, n_tiles: int, npx: int):
   return zbuf, cbuf
 
 
+def _coeff_planes(planes, tile: int, mid_sub: int):
+  """11 vertex planes [K, n_tiles] -> 13 affine-coefficient planes.
+
+  Each edge function and the interpolated inverse depth are affine in the
+  pixel coordinates, e_i(p) = A_i*px + B_i*py + C_i, so the per-slot
+  kernel work collapses to three fused multiply-adds per quantity.  This
+  precompute runs as plain XLA ops on [K, n_tiles] arrays — npx (=tile^2)
+  times smaller than the per-pixel kernel arrays — and folds in, once:
+    * the area-sign normalization (inside test becomes e_i >= 0),
+    * slot validity (invalid slots get C0 = -1e30, never inside),
+    * the sub-tile pixel offset of each fine tile within its mid region
+      (coords arrive relative to the MID origin; C += A*ox + B*oy moves
+      them to the FINE tile origin so the kernel's pixel grid is the
+      same [npx, 1] plane for every lane).
+  Returns [A0,B0,C0, A1,B1,C1, A2,B2,C2, Az,Bz,Cz, colp].
+  """
+  x0, y0, x1, y1, x2, y2, iz0, iz1, iz2, ok, colp = planes
+  K, n_tiles = x0.shape
+  S = mid_sub
+  # edge i: from vertex i to vertex (i+1)%3, e_i = A*px + B*py + C
+  a0, b0 = y0 - y1, x1 - x0
+  c0 = -a0 * x0 - b0 * y0
+  a1, b1 = y1 - y2, x2 - x1
+  c1 = -a1 * x1 - b1 * y1
+  a2, b2 = y2 - y0, x0 - x2
+  c2 = -a2 * x2 - b2 * y2
+  area = b0 * (y2 - y0) + a0 * (x2 - x0)   # == e0(v2), signed 2*area
+  s = jnp.sign(area)
+  a0, b0, c0 = a0 * s, b0 * s, c0 * s
+  a1, b1, c1 = a1 * s, b1 * s, c1 * s
+  a2, b2, c2 = a2 * s, b2 * s, c2 * s
+  inv_area = 1.0 / jnp.maximum(jnp.abs(area), 1e-9)
+  az = (a1 * iz0 + a2 * iz1 + a0 * iz2) * inv_area
+  bz = (b1 * iz0 + b2 * iz1 + b0 * iz2) * inv_area
+  cz = (c1 * iz0 + c2 * iz1 + c0 * iz2) * inv_area
+  c0 = jnp.where(ok > 0.5, c0, -1e30)
+  # mid-relative -> fine-tile-relative (tile = mid * S^2 + sy * S + sx)
+  sub = jnp.arange(n_tiles) % (S * S)
+  ox = ((sub % S) * tile).astype(jnp.float32)[None, :]
+  oy = ((sub // S) * tile).astype(jnp.float32)[None, :]
+  c0 = c0 + a0 * ox + b0 * oy
+  c1 = c1 + a1 * ox + b1 * oy
+  c2 = c2 + a2 * ox + b2 * oy
+  cz = cz + az * ox + bz * oy
+  return [a0, b0, c0, a1, b1, c1, a2, b2, c2, az, bz, cz, colp]
+
+
 def _raster_pallas_call(planes, tile: int, sky_packed: float,
-                        tiles_per_block: int = 128, mid_sub: int = 1):
+                        tiles_per_block: int = 128, mid_sub: int = 1,
+                        interpret: bool = False):
   """Pallas kernel: z-buffered rasterization with VMEM-resident buffers.
 
   planes: 11 arrays [K, n_tiles] f32 (x0, y0, x1, y1, x2, y2, iz0, iz1,
-  iz2, ok, colp).  Layout puts tiles in the lane dimension (128
-  tiles/block) and pixels in sublanes, so every per-slot step is a
-  full-width [npx, 128] VPU op and no array has a small trailing dim for
-  XLA to pad.  With mid_sub=S, tiles are grouped S*S per mid region
-  (tile = mid * S^2 + sy * S + sx) and coords are relative to the MID
-  region origin; the kernel adds the per-lane sub-tile pixel offset.
-  Returns (zbuf [npx, n_tiles] f32, colbuf [npx, n_tiles] f32 packed).
+  iz2, ok, colp), coords relative to the MID region origin (see
+  _bin_pallas); converted here to affine coefficients (_coeff_planes).
+  Layout puts tiles in the lane dimension (128 tiles/block) and pixels in
+  sublanes, so every per-slot step is a full-width [npx, 128] VPU op and
+  no array has a small trailing dim for XLA to pad.  The z test runs in
+  inverse-depth space (marching max) so the inner loop has no reciprocal.
+  Returns (izbuf [npx, n_tiles] f32 inverse depth, 0 where no hit;
+  colbuf [npx, n_tiles] f32 packed).
   """
   from jax.experimental import pallas as pl
 
@@ -568,72 +617,56 @@ def _raster_pallas_call(planes, tile: int, sky_packed: float,
   npx = TS * TS
   K, n_tiles = planes[0].shape
   S = mid_sub
-  # TB must divide n_tiles exactly (the grid is n_tiles // TB blocks;
-  # a remainder would silently leave trailing tiles unrendered) and stay a
-  # multiple of S*S so each block holds whole mid regions.
+  # TB must divide n_tiles exactly (the grid is n_tiles // TB blocks; a
+  # remainder would silently leave trailing tiles unrendered).  Since the
+  # sub-tile offsets are folded into the coefficients, blocks need not
+  # align to mid-region boundaries.
   TB = 0
   for cand in range(min(tiles_per_block, n_tiles), 0, -1):
-    if n_tiles % cand == 0 and cand % (S * S) == 0:
+    if n_tiles % cand == 0:
       TB = cand
       break
-  if TB == 0:
-    raise ValueError(
-        f'no valid tile block size: n_tiles={n_tiles} has no divisor that '
-        f'is a multiple of mid_sub^2={S * S}')
 
-  def kernel(x0r, y0r, x1r, y1r, x2r, y2r, iz0r, iz1r, iz2r, okr, colr,
-             z_ref, c_ref):
-    # pixel-center coordinates within a tile: sublane p -> (px, py),
-    # plus the sub-tile offset of this lane's tile within its mid region
+  def kernel(a0r, b0r, c0r, a1r, b1r, c1r, a2r, b2r, c2r, azr, bzr, czr,
+             colr, z_ref, c_ref):
+    # pixel-center coordinates within a tile: sublane p -> (px, py).
+    # Identical for every lane — the sub-tile offsets were folded into
+    # the C coefficients by _coeff_planes.
     lin = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
-    sub = lane % (S * S)
-    ox = ((sub % S) * TS).astype(jnp.float32)    # [1, TB]
-    oy = ((sub // S) * TS).astype(jnp.float32)
-    px = (lin % TS).astype(jnp.float32) + 0.5 + ox   # [npx, TB]
-    py = (lin // TS).astype(jnp.float32) + 0.5 + oy
+    px = (lin % TS).astype(jnp.float32) + 0.5    # [npx, 1]
+    py = (lin // TS).astype(jnp.float32) + 0.5
 
     def body(k, carry):
-      zbuf, cbuf = carry
-      x0 = x0r[k][None, :]                       # [1, TB]
-      y0 = y0r[k][None, :]
-      x1 = x1r[k][None, :]
-      y1 = y1r[k][None, :]
-      x2 = x2r[k][None, :]
-      y2 = y2r[k][None, :]
-      e0 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)   # [npx, TB]
-      e1 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-      e2 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-      area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)  # [1, TB]
-      s = jnp.sign(area)
-      ok = okr[k][None, :] > 0.5
-      inside = (e0 * s >= 0) & (e1 * s >= 0) & (e2 * s >= 0) & ok
-      inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-9, area, 1.0)
-      inv_z = (e1 * iz0r[k][None, :] + e2 * iz1r[k][None, :] +
-               e0 * iz2r[k][None, :]) * inv_area
-      z = 1.0 / jnp.maximum(inv_z, 1e-6)
-      closer = inside & (z < zbuf)
-      zbuf = jnp.where(closer, z, zbuf)
+      izbuf, cbuf = carry
+      e0 = a0r[k][None, :] * px + b0r[k][None, :] * py + c0r[k][None, :]
+      e1 = a1r[k][None, :] * px + b1r[k][None, :] * py + c1r[k][None, :]
+      e2 = a2r[k][None, :] * px + b2r[k][None, :] * py + c2r[k][None, :]
+      izv = azr[k][None, :] * px + bzr[k][None, :] * py + czr[k][None, :]
+      closer = ((jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0) &
+                (izv > izbuf))
+      izbuf = jnp.where(closer, izv, izbuf)
       cbuf = jnp.where(closer, colr[k][None, :], cbuf)
-      return zbuf, cbuf
+      return izbuf, cbuf
 
-    zbuf0 = jnp.full((npx, TB), jnp.inf, jnp.float32)
+    izbuf0 = jnp.zeros((npx, TB), jnp.float32)
     cbuf0 = jnp.full((npx, TB), sky_packed, jnp.float32)
-    zbuf, cbuf = jax.lax.fori_loop(0, K, body, (zbuf0, cbuf0))
-    z_ref[:] = zbuf
+    izbuf, cbuf = jax.lax.fori_loop(0, K, body, (izbuf0, cbuf0))
+    z_ref[:] = izbuf
     c_ref[:] = cbuf
 
+  coeffs = _coeff_planes(planes, TS, S)
   grid = (n_tiles // TB,)
   in_spec = pl.BlockSpec((K, TB), lambda i: (0, i))
   out = pl.pallas_call(
       kernel,
       grid=grid,
-      in_specs=[in_spec] * 11,
+      in_specs=[in_spec] * 13,
       out_specs=[pl.BlockSpec((npx, TB), lambda i: (0, i)),
                  pl.BlockSpec((npx, TB), lambda i: (0, i))],
       out_shape=[jax.ShapeDtypeStruct((npx, n_tiles), jnp.float32),
                  jax.ShapeDtypeStruct((npx, n_tiles), jnp.float32)],
-  )(*planes)
+      interpret=interpret,
+  )(*coeffs)
   return out[0], out[1]
 
 
@@ -657,10 +690,16 @@ def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array],
   if backend == 'pallas' and ty % 4 == 0 and tx % 4 == 0:
     MS = 2
     planes = _bin_pallas(r, tp)                  # [K2, n_tiles] mid-major
-    zbuf, cbuf = _raster_pallas_call(planes, TS, _pack_sky(r.sky_rgb),
-                                     mid_sub=MS)
-    hit = jnp.isfinite(zbuf)
-    depth = _compose_midmajor(jnp.where(hit, zbuf, r.zfar), ty, tx, TS, MS)
+    # off-TPU an explicit backend='pallas' runs the same kernel in
+    # interpret mode, so the real branch is drivable in CPU CI
+    izbuf, cbuf = _raster_pallas_call(planes, TS, _pack_sky(r.sky_rgb),
+                                      mid_sub=MS,
+                                      interpret=jax.default_backend()
+                                      != 'tpu')
+    hit = izbuf > 0.0
+    depth = _compose_midmajor(
+        jnp.where(hit, 1.0 / jnp.maximum(izbuf, 1e-9), r.zfar),
+        ty, tx, TS, MS)
     cimg = _compose_midmajor(cbuf, ty, tx, TS, MS)
     rgb = _unpack_col(cimg)                      # [H, W, 3] uint8
   else:

@@ -126,3 +126,59 @@ def test_shadows_darken_not_brighten(rendered):
   assert (diff.min(-1) < -8).sum() > 30, 'no shadow pixels'
   # sky rows untouched
   assert (on[0, :32] == off[0, :32]).all()
+
+
+def test_pallas_kernel_matches_jnp_reference():
+  """The affine-coefficient Pallas kernel (interpret mode on CPU) must
+  match the chunked-jnp reference rasterizer on random triangle planes."""
+  from geeco_tpu.render import rasterizer as rz
+
+  TS, S, K, n_tiles = 8, 2, 16, 16
+  rng = np.random.RandomState(0)
+  MTS = TS * S
+  # mid-relative vertex coords spanning the mid region and beyond
+  coords = rng.uniform(-6.0, MTS + 6.0, size=(6, K, n_tiles)).astype(
+      np.float32)
+  x0, y0, x1, y1, x2, y2 = coords
+  # avoid near-degenerate triangles (paths differ in |area|->0 guards)
+  area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+  bad = np.abs(area) < 1.0
+  x2 = np.where(bad, x2 + 4.0, x2)
+  y2 = np.where(bad, y2 + 3.0, y2)
+  depth = rng.uniform(0.5, 5.0, size=(3, K, n_tiles)).astype(np.float32)
+  iz0, iz1, iz2 = (1.0 / depth[i] for i in range(3))
+  ok = (rng.uniform(size=(K, n_tiles)) > 0.25).astype(np.float32)
+  colp = rng.randint(0, 256 ** 3, size=(K, n_tiles)).astype(np.float32)
+  sky = 123456.0
+
+  planes = [jnp.asarray(p) for p in
+            (x0, y0, x1, y1, x2, y2, iz0, iz1, iz2, ok, colp)]
+  izbuf, cbuf = rz._raster_pallas_call(planes, TS, sky, mid_sub=S,
+                                       interpret=True)
+  izbuf, cbuf = np.asarray(izbuf), np.asarray(cbuf)
+
+  # reference: shift coords to fine-tile origin and run the jnp scan path
+  sub = np.arange(n_tiles) % (S * S)
+  oxt = ((sub % S) * TS).astype(np.float32)[None, :]
+  oyt = ((sub // S) * TS).astype(np.float32)[None, :]
+  ref_planes = [jnp.asarray(p.T) for p in
+                (x0 - oxt, y0 - oyt, x1 - oxt, y1 - oyt, x2 - oxt,
+                 y2 - oyt, iz0, iz1, iz2, ok, colp)]
+  r = rz.Renderer(model=None, scene=None, width=TS, height=TS, cam_id=0,
+                  tile=TS, tris_per_tile=K, chunk=8, znear=0.05, zfar=10.0,
+                  sky_rgb=(0, 0, 0), depth_gl=False, cull=0, coarse=0,
+                  coarse_k=K, mid_k=K, backend='jnp', shadows=False,
+                  shadow_caps=())
+  zbuf_ref, cbuf_ref = rz._raster_jnp(r, ref_planes, n_tiles, TS * TS)
+  zbuf_ref = np.asarray(zbuf_ref).T              # -> [npx, n_tiles]
+  cbuf_ref = np.where(np.isfinite(zbuf_ref),
+                      np.asarray(cbuf_ref).T, sky)
+
+  # allow ULP-level inside/outside flips on pixels that sit exactly on an
+  # edge after the affine rearrangement
+  mism = cbuf != cbuf_ref
+  assert mism.mean() < 0.005, f'{mism.sum()} mismatched pixels'
+  hit = (izbuf > 0) & np.isfinite(zbuf_ref) & ~mism
+  assert hit.any()
+  np.testing.assert_allclose(1.0 / izbuf[hit], zbuf_ref[hit],
+                             rtol=1e-4, atol=1e-4)
