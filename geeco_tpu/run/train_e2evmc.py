@@ -230,6 +230,12 @@ def main(args):
         metrics_log.flush()
         print(f'step {global_step}: loss={rec["loss"]:.5f} '
               f'rss={rec["rss_gb"]:.1f}G')
+        if os.path.exists(os.path.join(args.model_dir, 'STOP')):
+          save_ckpt(global_step)
+          metrics_log.close()
+          print(f'>>> STOP file present; checkpointed at step '
+                f'{global_step}, exiting 0 (treated as training complete)')
+          raise SystemExit(0)
         if rec['rss_gb'] > args.max_rss_gb:
           save_ckpt(global_step)
           metrics_log.close()
