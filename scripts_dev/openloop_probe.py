@@ -45,8 +45,12 @@ tmpl = model.init(jax.random.PRNGKey(0), f0, j0, t0, c0,
                   jnp.asarray(True))['params']
 params = snapshots.restore_params(ckpt, tmpl)
 
-fwd = jax.jit(lambda p, f, j, t, c: model.apply(
-    {'params': p}, f, j, t, c, jnp.asarray(False)))
+# serving carry semantics must match training (models/predictor.py:36-49):
+# stateless-trained models serve with a fresh carry per window.
+STATELESS = getattr(cfg, 'train_carry', 'bptt') == 'stateless'
+print(f'carry mode: {"window (fresh per predict)" if STATELESS else "persistent"}')
+fwd = jax.jit(lambda p, f, j, t, c, r: model.apply(
+    {'params': p}, f, j, t, c, r))
 
 paths = D.list_records(DS, 'default', 'test')[:N_EP]
 all_pred, all_true, all_gp, all_gt = [], [], [], []
@@ -56,8 +60,13 @@ for path in paths:
   carry = init_lstm_carry(cfg, 1)
   tgt = jnp.asarray(feats['target_rgb'][0][None])
   for t in range(N):
+    if STATELESS:
+      carry, reset = init_lstm_carry(cfg, 1), jnp.asarray(True)
+    else:
+      reset = jnp.asarray(False)
     ep, carry = fwd(params, jnp.asarray(feats['rgb'][t][None]),
-                    jnp.asarray(feats['jnt_state'][t][None]), tgt, carry)
+                    jnp.asarray(feats['jnt_state'][t][None]), tgt, carry,
+                    reset)
     all_pred.append(np.asarray(ep['pred_cmd_ee'][0]))
     all_gp.append(int(np.argmax(np.asarray(ep['logits_cmd_grp'][0]))) - 1)
     all_true.append(labels['cmd'][t][:3])
