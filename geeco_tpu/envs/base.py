@@ -162,10 +162,10 @@ class GeecoEnv:
   def __init__(self, shapes: str = 'pad2-cube2', frame_res=(256, 256),
                asset_root: str = ASSET_ROOT, n_substeps: int = 20,
                settle_steps: int = 10, solver_iterations: int = 60,
-               solver_method: str = 'psd', hysteresis: float = 0.0,
+               solver_method: Optional[str] = None, hysteresis: float = 0.0,
                contact_select_k: Optional[int] = None,
                collide_every: int = 1, substep_unroll: int = 1,
-               solver_unroll: int = 1, contact_select: str = 'topk',
+               solver_unroll: int = 1, contact_select: Optional[str] = None,
                renderer_kwargs: Optional[dict] = None):
     import os
     self.shapes = shapes
@@ -180,6 +180,22 @@ class GeecoEnv:
       # expert success 0% -> 100% on clutter4 at K>=192)
       n_free = sum(1 for t in self.model.jnt_type if t == 0)  # FREE
       contact_select_k = 128 + 16 * max(0, n_free - 4)
+    # solver defaults are scene-conditional: mesh objects resting on the
+    # table creep under the global-top-K + whole-system line search (the
+    # active-set composition couples rest rows to robot-row rank changes);
+    # per-island block solve + per-body quota selection fixes it (golden
+    # MuJoCo fixture A/B, scripts_dev/creep_ab.py: nutcone static creep
+    # 11.2mm -> 0.27mm, ballcup 4.6mm -> 0.74mm, task drift also improves)
+    # while box-only scenes stay best under psd+topk (pick 9.2 vs 14.7mm).
+    m = self.model
+    free_bodies = {m.jnt_bodyid[j] for j, t in enumerate(m.jnt_type)
+                   if t == 0}
+    has_free_hulls = any(h >= 0 and m.geom_bodyid[g] in free_bodies
+                         for g, h in enumerate(m.geom_hullid))
+    if solver_method is None:
+      solver_method = 'psd_block' if has_free_hulls else 'psd'
+    if contact_select is None:
+      contact_select = 'quota' if has_free_hulls else 'topk'
     self.stepper = build_stepper(self.model,
                                  contact_select_k=contact_select_k,
                                  select_mode=contact_select)
