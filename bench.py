@@ -21,7 +21,9 @@ Measurement rules (learned the hard way on the axon device relay):
     is what the north star counts.
 
 Env overrides: BENCH_SWEEP (comma list), BENCH_NUM_ENVS (single B,
-disables the sweep), BENCH_STEPS.
+disables the sweep), BENCH_STEPS, BENCH_SCAN=1 (time the n_iters control
+steps as one lax.scan — no host-dispatch gaps, the vectorized-collect
+regime; per-step work is identical).
 """
 
 import json
@@ -44,7 +46,7 @@ def _readback(*arrays):
   return float(jax.device_get(tot))
 
 
-def _bench_one(env, num_envs, n_iters):
+def _bench_one(env, num_envs, n_iters, scan=False):
   import jax
   import jax.numpy as jnp
 
@@ -58,11 +60,40 @@ def _bench_one(env, num_envs, n_iters):
     rgb, _ = env.render(es)
     return es, rgb
 
-  batched = jax.jit(jax.vmap(step_and_render))
   base = jnp.tile(jnp.asarray([0.1, 0.0, 0.2, 1.0]), (num_envs, 1))
+  n_iters = max(2, n_iters)
+
+  if scan:
+    # BENCH_SCAN=1: identical per-step work (20 substeps + render each
+    # control step, distinct action every step), but the n_iters control
+    # steps run as one lax.scan so the measurement has no host-dispatch
+    # gaps between steps — the regime a real vectorized collect loop
+    # (run/sim.py rollout) operates in.
+    deltas = jnp.stack([0.01 * jnp.sin(0.7 * i + jnp.arange(4))
+                        for i in range(n_iters)])[:, None, :]
+
+    @jax.jit
+    def run(es, deltas):
+      def body(es, d):
+        es, rgb = jax.vmap(step_and_render)(es, base + d)
+        # full-frame reduction: every pixel feeds the carried scalar, so
+        # XLA cannot dead-code-eliminate any tile of the rasterizer
+        return es, rgb.astype(jnp.float32).sum()
+      return jax.lax.scan(body, es, deltas)
+
+    es2, s = run(es, deltas)          # warmup/compile
+    _readback(es2.phys.qpos, s)
+    # perturbed inputs for the timed call: identical dispatches can be
+    # served from a cache over the axon relay
+    t0 = time.perf_counter()
+    es2, s = run(es, deltas + 1e-4)
+    _readback(es2.phys.qpos, s)
+    dt = time.perf_counter() - t0
+    return num_envs * n_iters / dt
+
+  batched = jax.jit(jax.vmap(step_and_render))
   # pre-staged per-iteration perturbations: distinct inputs every call,
   # with no host->device transfer inside the timed loop
-  n_iters = max(2, n_iters)
   deltas = [
       jax.device_put(0.01 * jnp.sin(0.7 * i + jnp.arange(4))[None, :])
       for i in range(n_iters)
@@ -109,10 +140,11 @@ def main():
   env = GeecoEnv(shapes='pad2-cube2', settle_steps=2, **env_kwargs)
   env.setup()
 
+  scan = os.environ.get('BENCH_SCAN', '0') == '1'
   results = {}
   for b in sweep:
     try:
-      results[b] = _bench_one(env, b, n_iters)
+      results[b] = _bench_one(env, b, n_iters, scan=scan)
     except Exception as e:  # OOM at large B must not kill the bench
       print(f'# B={b} failed: {type(e).__name__}: {e}', file=sys.stderr)
   if not results:
