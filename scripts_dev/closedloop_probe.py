@@ -99,6 +99,13 @@ def probe_step(params, es, frames, jnts, carry, started):
   return es, frames, jnts, carry, action, m
 
 
+DUMP = os.environ.get('DUMP', '')          # dir: save frame PNGs every 5 steps
+if DUMP:
+  os.makedirs(DUMP, exist_ok=True)
+  from PIL import Image
+  Image.fromarray(np.asarray(ep['rgb'][-1])).save(
+      os.path.join(DUMP, 'target.png'))
+
 frames = jnp.zeros((K, cfg.img_height, cfg.img_width, 3))
 jnts = jnp.zeros((K, 7))
 carry = init_lstm_carry(cfg, 1)
@@ -113,3 +120,8 @@ for t in range(N_STEPS):
   print(f'{t:3d} [{a[0]:+.3f} {a[1]:+.3f} {a[2]:+.3f}] {a[3]:+.0f} | '
         f'[{ec[0]:+.3f} {ec[1]:+.3f} {ec[2]:+.3f}] {ec[3]:+.0f}  '
         f'gd={float(m["goal_dist"]):.3f}', flush=True)
+  if DUMP and t % 5 == 0:
+    from PIL import Image
+    Image.fromarray(
+        (np.asarray(frames[-1]) * 255).astype(np.uint8)).save(
+        os.path.join(DUMP, f'obs_{t:03d}.png'))
