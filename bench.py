@@ -135,6 +135,8 @@ def main():
     env_kwargs['collide_every'] = int(os.environ['BENCH_COLLIDE_EVERY'])
   if 'BENCH_SUBSTEP_UNROLL' in os.environ:
     env_kwargs['substep_unroll'] = int(os.environ['BENCH_SUBSTEP_UNROLL'])
+  if 'BENCH_MASS_INVERSE' in os.environ:
+    env_kwargs['mass_inverse'] = os.environ['BENCH_MASS_INVERSE']
   if 'BENCH_SOLVER_UNROLL' in os.environ:
     env_kwargs['solver_unroll'] = int(os.environ['BENCH_SOLVER_UNROLL'])
   env = GeecoEnv(shapes='pad2-cube2', settle_steps=2, **env_kwargs)

@@ -166,6 +166,7 @@ class GeecoEnv:
                contact_select_k: Optional[int] = None,
                collide_every: int = 1, substep_unroll: int = 1,
                solver_unroll: int = 1, contact_select: Optional[str] = None,
+               mass_inverse: str = 'chol',
                renderer_kwargs: Optional[dict] = None):
     import os
     self.shapes = shapes
@@ -204,6 +205,7 @@ class GeecoEnv:
     self.collide_every = collide_every
     self.substep_unroll = substep_unroll
     self.solver_unroll = solver_unroll
+    self.mass_inverse = mass_inverse
     h, w = frame_res
     self.renderer = build_renderer(self.model, self.assets, width=w,
                                    height=h, **(renderer_kwargs or {}))
@@ -307,7 +309,8 @@ class GeecoEnv:
                                  hysteresis=self.hysteresis,
                                  collide_every=self.collide_every,
                                  unroll=self.substep_unroll,
-                                 solver_unroll=self.solver_unroll), None
+                                 solver_unroll=self.solver_unroll,
+                                 mass_inverse=self.mass_inverse), None
       s, _ = jax.lax.scan(body, s, None, length=self.settle_steps)
       return s
 
@@ -348,7 +351,8 @@ class GeecoEnv:
                                hysteresis=self.hysteresis,
                                collide_every=self.collide_every,
                                unroll=self.substep_unroll,
-                               solver_unroll=self.solver_unroll), None
+                               solver_unroll=self.solver_unroll,
+                               mass_inverse=self.mass_inverse), None
     phys, _ = jax.lax.scan(body, phys, None, length=self.settle_steps)
     return phys
 
@@ -429,7 +433,8 @@ class GeecoEnv:
                              hysteresis=self.hysteresis,
                              collide_every=self.collide_every,
                              unroll=self.substep_unroll,
-                             solver_unroll=self.solver_unroll)
+                             solver_unroll=self.solver_unroll,
+                             mass_inverse=self.mass_inverse)
     return es.replace(phys=phys, ts=es.ts + 1)
 
   # ------------------------------------------------------------- readouts

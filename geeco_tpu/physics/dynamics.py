@@ -33,9 +33,10 @@ class Smooth(NamedTuple):
   info: K.DofInfo
   M: jax.Array            # [nv, nv] mass matrix (incl. armature)
   M_impl: jax.Array       # [nv, nv] M + h*diag(damping)  (implicit damping)
-  chol: jax.Array         # cholesky factor of M_impl
+  chol: jax.Array | None  # cholesky factor of M_impl ('chol' path)
   qfrc_smooth: jax.Array  # [nv] applied + bias-compensated force
   qacc_smooth: jax.Array  # [nv] unconstrained acceleration
+  minv: jax.Array | None = None  # explicit M_impl^-1 ('blockgj' path)
 
 
 def inertia_world(model: Model, kin: Kin) -> jax.Array:
@@ -143,16 +144,30 @@ def fluid_force(model: Model, state: State, kin: Kin, jacp: jax.Array,
 
 
 def smooth_dynamics(model: Model, state: State, anc_mask: np.ndarray,
-                    dt) -> Smooth:
+                    dt, mass_inverse: str = 'chol') -> Smooth:
+  """``mass_inverse``: 'chol' factorizes M_impl with XLA's (While-loop)
+  Cholesky and solves lazily; 'blockgj' forms the explicit inverse with
+  an unrolled block-diagonal Gauss-Jordan (physics/linalg.py) so every
+  downstream solve is a single fused matmul — same math, no While loops
+  in the substep (dispatch-latency lever on TPU)."""
   kin, info, jacp, jacr, qfrc_bias = kin_and_bias(model, state, anc_mask)
   M = mass_matrix(model, kin, jacp, jacr)
   qfrc = (actuator_force(model, state) + passive_force(model, state) +
           fluid_force(model, state, kin, jacp, jacr) - qfrc_bias)
   M_impl = M + dt * jnp.diag(model.dof_damping)
-  chol = jax.scipy.linalg.cho_factor(M_impl)[0]
   # implicit damping consumes existing momentum too:
   #   (M + h D) v' = M v + h (qfrc - D·0)  =>  acc = Minv_impl (qfrc - D v)
   qfrc_total = qfrc - model.dof_damping * state.qvel
+  if mass_inverse == 'blockgj':
+    from . import linalg as L
+    blocks = L.dof_blocks(np.asarray(anc_mask))
+    minv = L.spd_block_inverse(M_impl, blocks)
+    qacc = minv @ qfrc_total
+    return Smooth(kin=kin, info=info, M=M, M_impl=M_impl, chol=None,
+                  qfrc_smooth=qfrc_total, qacc_smooth=qacc, minv=minv)
+  if mass_inverse != 'chol':
+    raise ValueError(f'unknown mass_inverse {mass_inverse!r}')
+  chol = jax.scipy.linalg.cho_factor(M_impl)[0]
   qacc = jax.scipy.linalg.cho_solve((chol, False), qfrc_total)
   return Smooth(kin=kin, info=info, M=M, M_impl=M_impl, chol=chol,
                 qfrc_smooth=qfrc_total, qacc_smooth=qacc)

@@ -679,8 +679,10 @@ def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
     bid = jnp.asarray(bid_np)
     nblocks = int(bid_np.max()) + 1 if bid_np.size else 1
 
-  chol = (smooth.chol, False)
-  X = jax.scipy.linalg.cho_solve(chol, con.J.T)   # [nv, ne_sel] = Minv J^T
+  if smooth.minv is not None:     # explicit-inverse path: one fused matmul
+    X = smooth.minv @ con.J.T                     # [nv, ne_sel] = Minv J^T
+  else:
+    X = jax.scipy.linalg.cho_solve((smooth.chol, False), con.J.T)
   diagA = jnp.einsum('ev,ve->e', con.J, X)
   # regularization from reference-pose invweights (see _body_invweights)
   R = (1.0 - con.d_imp) / con.d_imp * con.invweight
@@ -730,7 +732,10 @@ def solve(model: Model, cs: ConstraintStatic, smooth: D.Smooth,
     R_I, R_E = R[:nI], R[eq_lo:eq_hi]
     b_I, b_E = b[:nI], b[eq_lo:eq_hi]
     A_EE = J_E @ X_E + jnp.diag(R_E)               # [nE, nE]
-    A_EE_inv = jnp.linalg.inv(A_EE)
+    # SPD Schur block: unrolled GJ instead of jnp.linalg.inv's While-loop
+    # LU — removes ~nE sequential dispatches per substep
+    from .linalg import gj_inverse
+    A_EE_inv = gj_inverse(A_EE)
     A_IE = J_I @ X_E                               # [nI, nE]
     Z = A_EE_inv @ A_IE.T                          # [nE, nI]
     diag_red = diagA[:nI] + R_I - jnp.einsum('ie,ei->i', A_IE, Z)

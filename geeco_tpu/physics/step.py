@@ -39,11 +39,12 @@ class Stepper(NamedTuple):
 
   def _substep_c(self, state: State, solver_iterations: int,
                  solver_method: str, solver_unroll: int, hysteresis: float,
-                 contacts: C.Contacts | None
+                 contacts: C.Contacts | None, mass_inverse: str = 'chol'
                  ) -> tuple[State, C.Contacts]:
     model = self.model
     dt = model.opt.timestep
-    smooth = D.smooth_dynamics(model, state, self.anc_mask, dt)
+    smooth = D.smooth_dynamics(model, state, self.anc_mask, dt,
+                               mass_inverse=mass_inverse)
     if contacts is None:
       contacts = C.collide(model, smooth.kin)
     con = S.make_constraints(model, self.cs, smooth, contacts, state,
@@ -58,14 +59,17 @@ class Stepper(NamedTuple):
 
   def substep(self, state: State, solver_iterations: int = 60,
               solver_method: str = 'psd', solver_unroll: int = 1,
-              hysteresis: float = 0.0) -> State:
+              hysteresis: float = 0.0,
+              mass_inverse: str = 'chol') -> State:
     return self._substep_c(state, solver_iterations, solver_method,
-                           solver_unroll, hysteresis, None)[0]
+                           solver_unroll, hysteresis, None,
+                           mass_inverse=mass_inverse)[0]
 
   def step(self, state: State, n_substeps: int = 20,
            solver_iterations: int = 60, unroll: int = 1,
            solver_method: str = 'psd', solver_unroll: int = 1,
-           hysteresis: float = 0.0, collide_every: int = 1) -> State:
+           hysteresis: float = 0.0, collide_every: int = 1,
+           mass_inverse: str = 'chol') -> State:
     """n_substeps of physics.
 
     ``collide_every=k`` runs narrowphase collision once per k substeps and
@@ -80,7 +84,8 @@ class Stepper(NamedTuple):
     if collide_every <= 1:
       def body(s, _):
         return self.substep(s, solver_iterations, solver_method,
-                            solver_unroll, hysteresis), None
+                            solver_unroll, hysteresis,
+                            mass_inverse=mass_inverse), None
       state, _ = jax.lax.scan(body, state, None, length=n_substeps,
                               unroll=unroll)
       return state
@@ -91,7 +96,8 @@ class Stepper(NamedTuple):
       contacts = None
       for _i in range(collide_every):
         s, contacts = self._substep_c(s, solver_iterations, solver_method,
-                                      solver_unroll, hysteresis, contacts)
+                                      solver_unroll, hysteresis, contacts,
+                                      mass_inverse=mass_inverse)
       return s, None
     state, _ = jax.lax.scan(outer, state, None,
                             length=n_substeps // collide_every,

@@ -6,7 +6,7 @@ the ~3 min axon tunnel init and scene compile are paid once.  Follows the
 axon measurement rules (forced host readbacks, per-iter perturbed inputs).
 
 Env overrides:
-  CONFIGS  semicolon list of method:iters[:select_k[:collide_every]]
+  CONFIGS  semicolon list of method:iters[:select_k[:collide_every[:mass_inverse]]]
            (default "psd:60;bb:60;bb:90;pallas:60"); select_k overrides
            the contact active-set size (default: env auto, 128 for
            pad2-cube2); collide_every reuses narrowphase contacts for
@@ -85,13 +85,15 @@ def main():
   for cfg in CONFIGS.split(';'):
     parts = cfg.split(':')
     method, iters = parts[0], int(parts[1])
-    sel_k = int(parts[2]) if len(parts) > 2 else None
-    ce = int(parts[3]) if len(parts) > 3 else 1
+    sel_k = int(parts[2]) if len(parts) > 2 and parts[2] else None
+    ce = int(parts[3]) if len(parts) > 3 and parts[3] else 1
+    mi = parts[4] if len(parts) > 4 and parts[4] else 'chol'
     tag = (f'{method}@{iters}' + (f' K={sel_k}' if sel_k else '') +
-           (f' ce={ce}' if ce > 1 else ''))
+           (f' ce={ce}' if ce > 1 else '') +
+           (f' mi={mi}' if mi != 'chol' else ''))
     env = GeecoEnv(shapes=SCENE, settle_steps=2, solver_method=method,
                    solver_iterations=iters, contact_select_k=sel_k,
-                   collide_every=ce)
+                   collide_every=ce, mass_inverse=mi)
     env.setup()
     for B in SWEEP:
       try:

@@ -195,3 +195,52 @@ def test_fetch_scene_smooth_step_finite():
   # eigenvalues of implicit mass matrix strictly positive
   w = np.linalg.eigvalsh(np.asarray(sm.M_impl))
   assert w.min() > 0
+
+
+# ---------------------------------------------------------------- linalg
+
+
+def test_gj_inverse_matches_numpy():
+  from geeco_tpu.physics import linalg as L
+  rng = np.random.RandomState(0)
+  for n in (3, 6, 15):
+    B = rng.randn(4, n, n).astype(np.float32)
+    A = np.einsum('bij,bkj->bik', B, B) + 3.0 * np.eye(n, dtype=np.float32)
+    inv = np.asarray(L.gj_inverse(jnp.asarray(A)))
+    np.testing.assert_allclose(inv, np.linalg.inv(A), rtol=2e-3, atol=2e-4)
+
+
+def test_dof_blocks_cover_fetch_scene_and_match_M_structure():
+  from geeco_tpu.physics import linalg as L
+  model, _ = mjcf.load_model(reference_xml('geeco-pad2-cube2.xml'))
+  anc = K.ancestor_mask(model)
+  blocks = L.dof_blocks(np.asarray(anc))
+  got = np.sort(np.concatenate(blocks))
+  np.testing.assert_array_equal(got, np.arange(model.nv))
+  assert len(blocks) > 1  # robot chain + free bodies
+  # off-block entries of the mass matrix are structurally zero
+  state = make_state(model)
+  smooth = D.smooth_dynamics(model, state, np.asarray(anc),
+                             model.opt.timestep)
+  M = np.asarray(smooth.M_impl)
+  mask = np.zeros_like(M, dtype=bool)
+  for idx in blocks:
+    mask[np.ix_(idx, idx)] = True
+  assert np.abs(M[~mask]).max() < 1e-6 * max(1.0, np.abs(M).max())
+
+
+def test_blockgj_substep_matches_chol():
+  from geeco_tpu.envs.base import GeecoEnv
+  from geeco_tpu.core.model import make_state
+  model, _ = mjcf.load_model(reference_xml('geeco-pad2-cube2.xml'))
+  from geeco_tpu.physics.step import build_stepper
+  st = build_stepper(model)
+  state = st.init_state(make_state(model))
+  run = lambda mi: jax.jit(lambda s: st.step(
+      s, 5, 20, mass_inverse=mi))(state)
+  a = run('chol')
+  b = run('blockgj')
+  np.testing.assert_allclose(np.asarray(a.qpos), np.asarray(b.qpos),
+                             rtol=1e-4, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(a.qvel), np.asarray(b.qvel),
+                             rtol=1e-3, atol=1e-3)
