@@ -20,7 +20,10 @@ while :; do
   pid=$(cat /tmp/collect.pid 2>/dev/null) || exit 0
   kill -0 "$pid" 2>/dev/null || exit 0
   rss=$(awk '/VmRSS/{print $2}' /proc/"$pid"/status 2>/dev/null || echo 0)
-  done_eps=$(grep -c task_success /tmp/collect.log 2>/dev/null || echo 0)
+  # grep -c prints "0" AND exits 1 on zero matches, so `|| echo 0` would
+  # yield "0\n0"; take the last line and default empty to 0.
+  done_eps=$(grep -c task_success /tmp/collect.log 2>/dev/null | tail -1)
+  done_eps=${done_eps:-0}
   if [ "$done_eps" -ge "$END_IDX" ]; then exit 0; fi
   if [ "${rss:-0}" -gt "$CAP_KB" ]; then
     eps=$(( done_eps / B * B ))
