@@ -166,7 +166,7 @@ class GeecoEnv:
                contact_select_k: Optional[int] = None,
                collide_every: int = 1, substep_unroll: int = 1,
                solver_unroll: int = 1, contact_select: Optional[str] = None,
-               mass_inverse: str = 'chol',
+               mass_inverse: str = 'chol', rolling: str | bool = 'auto',
                renderer_kwargs: Optional[dict] = None):
     import os
     self.shapes = shapes
@@ -199,7 +199,8 @@ class GeecoEnv:
       contact_select = 'quota' if has_free_hulls else 'topk'
     self.stepper = build_stepper(self.model,
                                  contact_select_k=contact_select_k,
-                                 select_mode=contact_select)
+                                 select_mode=contact_select,
+                                 rolling=rolling)
     self.solver_method = solver_method
     self.hysteresis = hysteresis
     self.collide_every = collide_every

@@ -88,12 +88,18 @@ def main():
     sel_k = int(parts[2]) if len(parts) > 2 and parts[2] else None
     ce = int(parts[3]) if len(parts) > 3 and parts[3] else 1
     mi = parts[4] if len(parts) > 4 and parts[4] else 'chol'
+    su = int(parts[5]) if len(parts) > 5 and parts[5] else 1
+    roll = parts[6] if len(parts) > 6 and parts[6] else 'auto'
+    roll = {'auto': 'auto', 'on': True, 'off': False}[roll]
     tag = (f'{method}@{iters}' + (f' K={sel_k}' if sel_k else '') +
            (f' ce={ce}' if ce > 1 else '') +
-           (f' mi={mi}' if mi != 'chol' else ''))
+           (f' mi={mi}' if mi != 'chol' else '') +
+           (f' su={su}' if su > 1 else '') +
+           (f' roll={roll}' if roll != 'auto' else ''))
     env = GeecoEnv(shapes=SCENE, settle_steps=2, solver_method=method,
                    solver_iterations=iters, contact_select_k=sel_k,
-                   collide_every=ce, mass_inverse=mi)
+                   collide_every=ce, mass_inverse=mi, substep_unroll=su,
+                   rolling=roll)
     env.setup()
     for B in SWEEP:
       try:

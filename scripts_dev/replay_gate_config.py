@@ -44,12 +44,12 @@ if os.environ.get('FIXTURES'):   # substring filter, e.g. FIXTURES=nutcone
                    if any(s in f for s in os.environ['FIXTURES'].split(',')))
 
 
-def run_fixture(fname, method, iters, sel_k, ce):
+def run_fixture(fname, method, iters, sel_k, ce, roll='auto'):
   fx = np.load(os.path.join(FIXTURE_DIR, fname))
   env = make_env(str(fx['shapes']), frame_res=(64, 64),
                  solver_method=method, solver_iterations=iters,
                  contact_select_k=sel_k or None, collide_every=ce,
-                 contact_select=SELECT_MODE)
+                 contact_select=SELECT_MODE, rolling=roll)
   env.setup()
   obj_qpos = fx['init_obj_qpos'].copy()
   obj_qpos[:, 2] -= 0.025
@@ -95,15 +95,18 @@ def main():
     method, iters = p[0], int(p[1])
     sel_k = int(p[2]) if len(p) > 2 else 0
     ce = int(p[3]) if len(p) > 3 else 1
+    roll = {'auto': 'auto', 'on': True, 'off': False}[
+        p[4]] if len(p) > 4 else 'auto'
     tag = (f'{method}@{iters}' + (f' K={sel_k}' if sel_k else '') +
            (f' ce={ce}' if ce > 1 else '') +
+           (f' roll={roll}' if roll != 'auto' else '') +
            (' quota' if SELECT_MODE == 'quota' else ''))
     all_ok = True
     for fname in FIXTURES:
       t0 = time.time()
       try:
         ok, succ, gd, task_drift, static_drift = run_fixture(
-            fname, method, iters, sel_k, ce)
+            fname, method, iters, sel_k, ce, roll)
       except Exception as e:
         print(f'{tag:24s} {fname:42s} ERROR {type(e).__name__}: {e}',
               flush=True)
