@@ -20,14 +20,23 @@ Measurement rules (learned the hard way on the axon device relay):
     256/512/1024 — override with BENCH_SWEEP), since per-chip throughput
     is what the north star counts.
 
-Env overrides: BENCH_SWEEP (comma list), BENCH_NUM_ENVS (single B,
-disables the sweep), BENCH_STEPS, BENCH_SCAN=1 (time the n_iters control
-steps as one lax.scan — no host-dispatch gaps, the vectorized-collect
-regime; per-step work is identical).
+Round-3 hardening (round-2 bench timed out with no number at all —
+rc=124): the default is a SINGLE batch size (the known-best B=256) with
+few iters so one compile suffices, the multi-point sweep moved behind
+BENCH_SWEEP, and a SIGTERM/SIGALRM handler emits the best-so-far JSON
+before any driver timeout can kill the process empty-handed.
+
+Env overrides: BENCH_SWEEP (comma list; default single 256),
+BENCH_NUM_ENVS (single B, disables the sweep), BENCH_STEPS,
+BENCH_BUDGET_S (self-imposed wall-clock alarm, default 1500),
+BENCH_SCAN=1 (time the n_iters control steps as one lax.scan — no
+host-dispatch gaps, the vectorized-collect regime; per-step work is
+identical).
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -36,6 +45,37 @@ if REPO_ROOT not in sys.path:
   sys.path.insert(0, REPO_ROOT)
 
 NORTH_STAR = 1_000_000.0
+
+# best-so-far results, readable from the signal handler
+_RESULTS = {}
+_EMITTED = False
+
+
+def _emit(note=''):
+  """Print the ONE result JSON line from whatever has been measured."""
+  global _EMITTED
+  if _EMITTED or not _RESULTS:
+    return bool(_EMITTED)
+  _EMITTED = True
+  best_b = max(_RESULTS, key=_RESULTS.get)
+  steps_per_sec = _RESULTS[best_b]
+  out = {
+      'metric': (f'pad2-cube2 env steps/sec/chip (B={best_b} of '
+                 f'{sorted(_RESULTS)}; 20 substeps + 256x256 render per '
+                 f'step; forced-readback timing{note})'),
+      'value': round(steps_per_sec, 2),
+      'unit': 'env_steps/sec/chip',
+      'vs_baseline': round(steps_per_sec / NORTH_STAR, 6),
+  }
+  print(json.dumps(out), flush=True)
+  return True
+
+
+def _on_signal(signum, frame):
+  # a driver timeout (SIGTERM) or our own alarm: report what we have
+  if _emit(note=f'; cut short by signal {signum}'):
+    os._exit(0)
+  os._exit(124)
 
 
 def _readback(*arrays):
@@ -115,14 +155,20 @@ def _bench_one(env, num_envs, n_iters, scan=False):
 
 
 def main():
+  signal.signal(signal.SIGTERM, _on_signal)
+  signal.signal(signal.SIGALRM, _on_signal)
+  signal.alarm(int(os.environ.get('BENCH_BUDGET_S', '1500')))
+
   from geeco_tpu.envs.base import GeecoEnv
 
   n_iters = int(os.environ.get('BENCH_STEPS', '10'))
   if 'BENCH_NUM_ENVS' in os.environ:
     sweep = [int(os.environ['BENCH_NUM_ENVS'])]
   else:
+    # single point by default: round-2's 3-point sweep (3 multi-minute
+    # compiles over the axon relay) blew the driver budget -> rc=124
     sweep = [int(b) for b in
-             os.environ.get('BENCH_SWEEP', '256,512,1024').split(',')]
+             os.environ.get('BENCH_SWEEP', '256').split(',')]
 
   env_kwargs = {}
   if 'BENCH_SOLVER_ITERS' in os.environ:
@@ -143,28 +189,17 @@ def main():
   env.setup()
 
   scan = os.environ.get('BENCH_SCAN', '0') == '1'
-  results = {}
   for b in sweep:
     try:
-      results[b] = _bench_one(env, b, n_iters, scan=scan)
+      _RESULTS[b] = _bench_one(env, b, n_iters, scan=scan)
+      print(f'# B={b}: {_RESULTS[b]:.2f} env-steps/s',
+            file=sys.stderr, flush=True)
     except Exception as e:  # OOM at large B must not kill the bench
       print(f'# B={b} failed: {type(e).__name__}: {e}', file=sys.stderr)
-  if not results:
+  if not _RESULTS:
     raise SystemExit('all batch sizes failed')
-  for b, v in results.items():
-    print(f'# B={b}: {v:.2f} env-steps/s', file=sys.stderr)
-
-  best_b = max(results, key=results.get)
-  steps_per_sec = results[best_b]
-  out = {
-      'metric': (f'pad2-cube2 env steps/sec/chip (best of B sweep '
-                 f'{sorted(results)} -> B={best_b}; 20 substeps + '
-                 '256x256 render per step; forced-readback timing)'),
-      'value': round(steps_per_sec, 2),
-      'unit': 'env_steps/sec/chip',
-      'vs_baseline': round(steps_per_sec / NORTH_STAR, 6),
-  }
-  print(json.dumps(out))
+  signal.alarm(0)
+  _emit()
 
 
 if __name__ == '__main__':

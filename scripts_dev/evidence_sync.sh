@@ -1,0 +1,32 @@
+#!/bin/bash
+# Periodically copy the cheap training/eval evidence into the repo and
+# commit it, so VM recycles can never again destroy the round's results
+# (round-2 verdict weak #6).  Runs forever; stop with: kill $(cat /tmp/evsync.pid)
+#
+# Usage: nohup bash scripts_dev/evidence_sync.sh > /tmp/evsync.log 2>&1 &
+#        echo $! > /tmp/evsync.pid
+set -u
+cd /root/repo
+ART=artifacts/r3
+mkdir -p "$ART"
+while :; do
+  cp -f /root/models/geeco-f/metrics.jsonl      "$ART/" 2>/dev/null
+  cp -f /root/models/geeco-f/config.json        "$ART/" 2>/dev/null
+  cp -f /root/models/geeco-f/*runcmd.json       "$ART/" 2>/dev/null
+  cp -f /tmp/collect_stats.txt                  "$ART/" 2>/dev/null
+  cp -f /tmp/pipeline.log                       "$ART/pipeline.log" 2>/dev/null
+  # eval outputs land under /root/eval/geeco-f/<ts>/
+  for f in /root/eval/geeco-f/*/final_results.txt; do
+    [ -e "$f" ] && cp -f "$f" "$ART/final_results.txt"
+  done
+  for f in /root/eval/geeco-f/*/eval_results.csv; do
+    [ -e "$f" ] && cp -f "$f" "$ART/eval_results.csv"
+  done
+  if ! git diff --quiet -- "$ART" 2>/dev/null || \
+     [ -n "$(git status --porcelain "$ART")" ]; then
+    git add "$ART"
+    git commit -q -m "r3 evidence sync: $(date -u +%H:%M) $(wc -l < "$ART/metrics.jsonl" 2>/dev/null || echo 0) metric lines" \
+      || true
+  fi
+  sleep 600
+done
