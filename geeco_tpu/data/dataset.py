@@ -27,7 +27,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from .episode import load_episode_npz
+from .episode import _RECORD_EXTS, load_episode
 
 ARM_JOINTS = (
     'robot0:shoulder_pan_joint', 'robot0:shoulder_lift_joint',
@@ -52,15 +52,26 @@ def list_records(dataset_dir: str, split_name: Optional[str] = None,
                               f'{mode}.txt')
     with open(split_file) as fp:
       names = [l.strip() for l in fp if l.strip()]
-    return [os.path.join(data_dir, _npz_name(n)) for n in names]
-  return sorted(
+    return [_record_path(data_dir, n) for n in names]
+  paths = sorted(
       os.path.join(data_dir, f) for f in os.listdir(data_dir)
       if f.endswith('.npz'))
+  if not paths:  # reference-collected dataset: .tfrecord[.zlib] only
+    paths = sorted(
+        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+        if f.endswith(('.tfrecord', '.tfrecord.zlib')))
+  return paths
 
 
-def _npz_name(record_name: str) -> str:
+def _record_path(data_dir: str, record_name: str) -> str:
+  """Resolve a split entry to an existing record file: npz first (the
+  TPU-era storage), else the reference's .tfrecord[.zlib] format."""
   base = os.path.basename(record_name).split('.')[0]
-  return base + '.npz'
+  for ext in _RECORD_EXTS:
+    p = os.path.join(data_dir, base + ext)
+    if os.path.exists(p):
+      return p
+  return os.path.join(data_dir, base + '.npz')  # original error surface
 
 
 # -------------------------------------------------------------- transforms
@@ -169,7 +180,7 @@ def prepare(win: Dict, fetch_target: bool = False):
 def episode_windows(path: str, window_size: int = 4,
                     fetch_target: bool = False):
   """Full per-episode transform chain -> (features, labels) window arrays."""
-  ep, _ = load_episode_npz(path)
+  ep, _ = load_episode(path)
   ex = preprocess_states(ep)
   if fetch_target:
     # target frame = last frame of the episode (_parse_v4 fetch_target)
@@ -335,7 +346,7 @@ def _assemble_episode_batch(group, K: int, fetch_target: bool,
 
 def _lazy_episode(path: str, fetch_target: bool):
   """Load an episode keeping rgb as uint8; precompute the small vectors."""
-  ep, _ = load_episode_npz(path)
+  ep, _ = load_episode(path)
   rgb_u8 = ep.get('rgb')
   depth = ep.get('depth')
   small = preprocess_states({k: v for k, v in ep.items()

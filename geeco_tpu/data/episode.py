@@ -116,6 +116,57 @@ def load_episode_npz(path: str):
   return data, context
 
 
+def load_episode_tfrecord(path: str):
+  """Load one episode from a reference-format ``.tfrecord[.zlib]`` file
+  into the same stacked-array dict ``load_episode_npz`` returns, so a
+  dataset collected by the REFERENCE stack trains directly
+  (reference contract: src/data/geeco_gym.py:401 parses these
+  SequenceExamples; writer side: tfrecord_io.write_episode_tfrecord)."""
+  from .tfrecord_io import read_tfrecord
+  comp = 'zlib' if path.endswith('.zlib') else 'none'
+  examples = read_tfrecord(path, compression=comp)
+  if not examples:
+    raise ValueError(f'no SequenceExample in {path}')
+  raw_ctx, lists = examples[0]
+  context = {}
+  for key, val in raw_ctx.items():
+    if isinstance(val, list):  # bytes_list -> str / list[str]
+      decoded = [v.decode() for v in val]
+      context[key] = decoded[0] if len(decoded) == 1 else decoded
+    else:
+      arr = np.asarray(val)
+      context[key] = arr.item() if arr.size == 1 else arr.tolist()
+  h = int(context.get('img_height', 0))
+  w = int(context.get('img_width', 0))
+  data = {}
+  for key, frames in lists.items():
+    arr = np.stack(frames)  # [T, D]
+    if key == 'rgb':
+      if not (h and w):
+        raise ValueError(f'{path}: rgb present but img_height/img_width '
+                         'missing from context')
+      data['rgb'] = arr.reshape(len(frames), h, w, 3).astype(np.uint8)
+    elif key == 'depth':
+      data['depth'] = arr.reshape(len(frames), h, w).astype(np.float32)
+    elif arr.ndim == 2 and arr.shape[1] == 1:
+      data[key] = arr[:, 0]  # per-frame scalars were flattened to [T,1]
+    else:
+      data[key] = arr
+  return data, context
+
+
+_RECORD_EXTS = ('.npz', '.tfrecord.zlib', '.tfrecord')
+
+
+def load_episode(path: str):
+  """Extension dispatch: npz (TPU-era storage) or reference tfrecord."""
+  if path.endswith('.npz'):
+    return load_episode_npz(path)
+  if path.endswith(('.tfrecord', '.tfrecord.zlib')):
+    return load_episode_tfrecord(path)
+  raise ValueError(f'unknown episode record format: {path}')
+
+
 def save_replay_buffer_pkl(path: str, env: GeecoEnv, records: Dict,
                            context: Dict):
   """Reference-compatible replay pickle (pickplace.py:226-246)."""

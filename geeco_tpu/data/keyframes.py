@@ -22,7 +22,7 @@ import numpy as np
 from PIL import Image
 
 from .dataset import list_records
-from .episode import load_episode_npz
+from .episode import load_episode
 
 
 def _save_rgb(path: str, rgb_uint8: np.ndarray):
@@ -44,7 +44,7 @@ def extract_targets(dataset_dir: str, keyframes: bool = True) -> int:
   n = 0
   for path in list_records(dataset_dir):
     name = os.path.basename(path).split('.')[0]
-    ep, _ = load_episode_npz(path)
+    ep, _ = load_episode(path)
     if 'rgb' not in ep:
       continue
     rgb = ep['rgb']

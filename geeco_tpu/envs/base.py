@@ -169,6 +169,11 @@ class GeecoEnv:
                mass_inverse: str = 'chol', rolling: str | bool = 'auto',
                renderer_kwargs: Optional[dict] = None):
     import os
+    if not (rolling == 'auto' or isinstance(rolling, bool)):
+      # any other string would be truthy downstream: rolling='off' would
+      # silently ENABLE the condim-6 rolling rows (ADVICE.md round 2)
+      raise ValueError(f"rolling must be 'auto', True or False; "
+                       f"got {rolling!r}")
     self.shapes = shapes
     self.task = 'pushing' if shapes.startswith('push') else 'pickplace'
     xml = os.path.join(asset_root, 'envs', MODEL_XML[shapes])

@@ -261,8 +261,8 @@ def run_replay(args):
                  for k, v in rb['object_qpos_buffer'].items()}
     mocap0 = np.asarray(rb['mocap_qpos_buffer']['robot0:mocap'][0])
   else:
-    from ..data.episode import load_episode_npz
-    ep, _ = load_episode_npz(args.replay_buffer)
+    from ..data.episode import load_episode
+    ep, _ = load_episode(args.replay_buffer)
     cmd_buffer = ep['cmd']
     obj_qpos0 = {j: ep[f'object_qpos-{j}'][0] for j in env.obj_joint_names}
     mocap0 = ep['mocap_qpos-robot0:mocap'][0]
@@ -334,14 +334,14 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
   """
   import jax.numpy as jnp
   from ..data.dataset import list_records
-  from ..data.episode import load_episode_npz
+  from ..data.episode import load_episode
   from ..envs.base import ResetSpec
   paths = list_records(dataset_dir, split_name, 'test')
   if n_eps > 0:
     paths = paths[:n_eps]
   objq, mocapq, goals, objs, tgts, tgt_depths = [], [], [], [], [], []
   for p in paths:
-    ep, ctx = load_episode_npz(p)
+    ep, ctx = load_episode(p)
     oq = np.stack([np.asarray(ep[f'object_qpos-{j}'][0])
                    for j in env.obj_joint_names])
     oq = oq.copy()

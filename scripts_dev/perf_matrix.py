@@ -89,8 +89,11 @@ def main():
     ce = int(parts[3]) if len(parts) > 3 and parts[3] else 1
     mi = parts[4] if len(parts) > 4 and parts[4] else 'chol'
     su = int(parts[5]) if len(parts) > 5 and parts[5] else 1
-    roll = parts[6] if len(parts) > 6 and parts[6] else 'auto'
-    roll = {'auto': 'auto', 'on': True, 'off': False}[roll]
+    roll_tok = parts[6] if len(parts) > 6 and parts[6] else 'auto'
+    roll = {'auto': 'auto', 'on': True, 'off': False}.get(roll_tok)
+    if roll is None:
+      raise SystemExit(f'bad roll token {roll_tok!r} in {cfg!r}: '
+                       f'valid tokens are auto/on/off')
     tag = (f'{method}@{iters}' + (f' K={sel_k}' if sel_k else '') +
            (f' ce={ce}' if ce > 1 else '') +
            (f' mi={mi}' if mi != 'chol' else '') +

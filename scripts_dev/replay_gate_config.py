@@ -95,8 +95,11 @@ def main():
     method, iters = p[0], int(p[1])
     sel_k = int(p[2]) if len(p) > 2 else 0
     ce = int(p[3]) if len(p) > 3 else 1
-    roll = {'auto': 'auto', 'on': True, 'off': False}[
-        p[4]] if len(p) > 4 else 'auto'
+    roll_tok = p[4] if len(p) > 4 and p[4] else 'auto'
+    roll = {'auto': 'auto', 'on': True, 'off': False}.get(roll_tok)
+    if roll is None:
+      raise SystemExit(f'bad roll token {roll_tok!r} in {cfg!r}: '
+                       f'valid tokens are auto/on/off')
     tag = (f'{method}@{iters}' + (f' K={sel_k}' if sel_k else '') +
            (f' ce={ce}' if ce > 1 else '') +
            (f' roll={roll}' if roll != 'auto' else '') +

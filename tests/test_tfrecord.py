@@ -120,3 +120,79 @@ def test_crc_integrity(tmp_path):
   data = raw[12:12 + length]
   (data_crc,) = struct.unpack('<I', raw[12 + length:16 + length])
   assert masked_crc32c(data) == data_crc
+
+
+def test_train_step_from_tfrecord_only_dataset(tmp_path):
+  """A dataset collected by the REFERENCE stack (.tfrecord.zlib records,
+  no npz) feeds episode_pipeline and one training step directly
+  (reference input contract: src/data/geeco_gym.py:401)."""
+  import json
+  import os
+
+  import jax
+  import jax.numpy as jnp
+
+  from geeco_tpu.data import dataset as D
+  from geeco_tpu.data.episode import load_episode
+  from geeco_tpu.models.params import create_e2evmc_config
+  from geeco_tpu.models.train import make_episode_train_fns
+
+  H = W = 16
+  T = 8
+  K = 3
+  root = str(tmp_path / 'ds')
+  os.makedirs(os.path.join(root, 'meta'))
+  with open(os.path.join(root, 'meta', 'meta_info.json'), 'w') as fp:
+    json.dump({'episode_length': T, 'img_height': H, 'img_width': W}, fp)
+  rng = np.random.RandomState(0)
+  names = []
+  for i in range(2):
+    recs = {
+        'step': np.arange(T, dtype=np.int64),
+        'ts': np.arange(T, dtype=np.float32) * 0.04,
+        'rgb': rng.randint(0, 255, (T, H, W, 3)).astype(np.uint8),
+        'cmd': np.clip(rng.randn(T, 4), -1, 1).astype(np.float32),
+        'ctrl': rng.randn(T, 2).astype(np.float32),
+        'mocap_qpos-robot0:mocap': rng.randn(T, 7).astype(np.float32),
+        'goal_qpos': rng.randn(T, 7).astype(np.float32),
+        'obj_qpos': rng.randn(T, 7).astype(np.float32),
+    }
+    for j in D.ARM_JOINTS + D.FINGER_JOINTS:
+      recs[f'joint_qpos-{j}'] = rng.randn(T).astype(np.float32)
+      recs[f'joint_qvel-{j}'] = rng.randn(T).astype(np.float32)
+    name = f'replay_buffer_{i + 1:04d}'
+    write_episode_tfrecord(
+        os.path.join(root, 'data', name + '.tfrecord.zlib'), recs,
+        {'task_goal': 'goal0', 'task_object': 'object0',
+         'episode_length': T, 'img_height': H, 'img_width': W})
+    names.append(name)
+  os.makedirs(os.path.join(root, 'splits', 'default'))
+  for mode in ('train', 'eval', 'test'):
+    with open(os.path.join(root, 'splits', 'default', mode + '.txt'),
+              'w') as fp:
+      fp.write('\n'.join(names) + '\n')
+
+  # loader round-trips the npz schema (uint8 rgb, squeezed scalars)
+  ep, ctx = load_episode(
+      os.path.join(root, 'data', 'replay_buffer_0001.tfrecord.zlib'))
+  assert ep['rgb'].shape == (T, H, W, 3) and ep['rgb'].dtype == np.uint8
+  assert ep['ts'].shape == (T,)
+  assert ctx['task_goal'] == 'goal0'
+
+  batches = list(D.episode_pipeline(root, 'default', 'train',
+                                    batch_episodes=2, window_size=K,
+                                    fetch_target=True, seed=0))
+  assert len(batches) == 1
+  assert batches[0]['frames'].shape == (2, T - 1, H, W, 3)
+
+  config = create_e2evmc_config(dict(
+      img_height=H, img_width=W, img_channels=3, window_size=K,
+      proc_obs='dynimg', proc_tgt='dyndiff', dim_s_obs=16, dim_s_dyn=16,
+      dim_s_diff=16, dim_h_lstm=16, dim_h_fc=16, lr=3e-3,
+      compute_dtype='float32'))
+  init_fn, train_step, _, _ = make_episode_train_fns(config, True,
+                                                     chunk_windows=4)
+  ts = init_fn(jax.random.PRNGKey(0), 2)
+  b = jax.tree.map(jnp.asarray, batches[0])
+  ts, metrics = jax.jit(train_step)(ts, b)
+  assert np.isfinite(float(metrics['loss_cmd_ee']))
