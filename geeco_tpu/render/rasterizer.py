@@ -127,24 +127,37 @@ class TriPlanes(NamedTuple):
   colp: jax.Array   # packed shaded color r*65536 + g*256 + b (f32, exact)
 
 
-def _project_and_shade(r: Renderer, kin: Kin, rgba: jax.Array,
-                       textures: Optional[jax.Array] = None) -> TriPlanes:
-  model, scene = r.model, r.scene
-  H, W = r.height, r.width
-
-  # ---- camera pose
+def _camera(r: Renderer, kin: Kin):
+  """Camera world pose: (position [3], rotation matrix, cols = axes)."""
+  model = r.model
   cb = model.cam_bodyid[r.cam_id]
   cam_pos = kin.xpos[cb] + gm.quat_rotate(kin.xquat[cb],
                                           model.cam_pos[r.cam_id])
   cam_quat = gm.quat_mul(kin.xquat[cb], model.cam_quat[r.cam_id])
-  Rc = gm.quat_to_mat(cam_quat)  # columns = camera axes in world
+  return cam_pos, gm.quat_to_mat(cam_quat)
 
-  # ---- vertex transform
+
+def _vertex_world(r: Renderer, kin: Kin) -> jax.Array:
+  """Transform all scene vertices into world space [V, 3]."""
+  scene = r.scene
   vg = jnp.asarray(scene.vert_geom)
   vert_local = jnp.asarray(scene.vert)
-  gpos = kin.geom_xpos[vg]
-  gquat = kin.geom_xquat[vg]
-  world = gpos + jax.vmap(gm.quat_rotate)(gquat, vert_local)  # [V, 3]
+  return (kin.geom_xpos[vg] +
+          jax.vmap(gm.quat_rotate)(kin.geom_xquat[vg], vert_local))
+
+
+def _project_and_shade(r: Renderer, kin: Kin, rgba: jax.Array,
+                       textures: Optional[jax.Array] = None,
+                       cam=None, world=None) -> TriPlanes:
+  model, scene = r.model, r.scene
+  H, W = r.height, r.width
+
+  # ---- camera pose
+  cam_pos, Rc = _camera(r, kin) if cam is None else cam
+
+  # ---- vertex transform
+  if world is None:
+    world = _vertex_world(r, kin)                 # [V, 3]
 
   pc = (world - cam_pos) @ Rc                   # camera coords [V, 3]
   depth_v = -pc[:, 2]                           # positive in front
@@ -255,17 +268,15 @@ def _seg_seg_dist(p1: jax.Array, d1: jax.Array, pa: jax.Array,
 _SHADOW_CHUNK = 64
 
 
-def _shadow_occlusion(r: Renderer, kin: Kin, world: jax.Array) -> jax.Array:
-  """Per-triangle shadow fraction [T] in [0, 1].
+def _occlude_points(r: Renderer, kin: Kin, world: jax.Array,
+                    P: jax.Array) -> jax.Array:
+  """Light-visibility test for world points P [Pv, 3] -> occlusion [Pv].
 
-  Light visibility is tested once per unique receiver vertex
-  (scene.shadow_pts) against (a) free-body triangles (Moller-Trumbore,
-  chunk-scanned) and (b) the arm's capsule proxies (segment-segment
-  distance), then averaged over each receiver triangle's 3 vertices for
-  soft edges.  Non-receiver triangles get 0.
+  Tests against (a) free-body triangles (Moller-Trumbore, chunk-scanned
+  over `world` vertices) and (b) the arm's capsule proxies
+  (segment-segment distance).
   """
   model, scene = r.model, r.scene
-  P = world[jnp.asarray(scene.shadow_pts)]         # [Pv, 3]
   if model.light_directional[0]:
     d = jnp.broadcast_to(-model.light_dir[0] * 20.0, P.shape)
   else:
@@ -314,11 +325,149 @@ def _shadow_occlusion(r: Renderer, kin: Kin, world: jax.Array) -> jax.Array:
     dist = _seg_seg_dist(P, d, gp - ax * hl, gp + ax * hl)
     occ = jnp.maximum(occ, jnp.any(dist < rad[None, :], 1)
                       .astype(jnp.float32))
+  return occ
 
+
+def _shadow_occlusion(r: Renderer, kin: Kin, world: jax.Array) -> jax.Array:
+  """Per-triangle shadow fraction [T] in [0, 1].
+
+  Light visibility is tested once per unique receiver vertex
+  (scene.shadow_pts), then averaged over each receiver triangle's 3
+  vertices for soft edges.  Non-receiver triangles get 0.
+  """
+  scene = r.scene
+  P = world[jnp.asarray(scene.shadow_pts)]         # [Pv, 3]
+  occ = _occlude_points(r, kin, world, P)
   occ_tri = occ[jnp.asarray(scene.shadow_recv_pt)].mean(-1)   # [Rr]
   T = scene.tri.shape[0]
   return jnp.zeros(T, jnp.float32).at[jnp.asarray(scene.shadow_recv)
                                       ].set(occ_tri)
+
+
+# shadow sample grid per analytic rect: (SG+1)^2 light-visibility tests,
+# bilinearly interpolated per pixel (smoother than the old per-texel-quad
+# flat shadows at similar cost)
+_RECT_SHADOW_GRID = 16
+
+
+def _analytic_bg(r: Renderer, kin: Kin, rgba: jax.Array,
+                 textures: Optional[jax.Array], cam, world):
+  """Per-pixel ray-cast of the scene's analytic rects (planes, textured
+  box tops): returns (depth [H,W] f32, colp [H,W] packed f32).
+
+  Replaces their triangle tessellations entirely: exact edges, per-pixel
+  texels, zero binning load, and — unlike the texel-quad path — immune to
+  per-tile candidate-budget overflow (dense robot-mesh screen columns used
+  to evict the wall/table quads behind them into sky holes).
+  Where no rect is hit: depth = zfar, color = sky.
+  """
+  model, scene = r.model, r.scene
+  H, W = r.height, r.width
+  cam_pos, Rc = cam
+  nrect = int(scene.rect_geom.shape[0])
+  sky = jnp.full((H, W), _pack_sky(r.sky_rgb), jnp.float32)
+  if nrect == 0:
+    return jnp.full((H, W), r.zfar, jnp.float32), sky
+
+  # unnormalized camera-frame pixel rays (a, b, -1): z-depth along the ray
+  # equals the ray parameter s (exact inverse of the projection above)
+  f = 1.0 / jnp.tan(jnp.deg2rad(model.cam_fovy[r.cam_id]) * 0.5)
+  aspect = W / H
+  a = ((2.0 * (jnp.arange(W) + 0.5) / W) - 1.0) * aspect / f   # [W]
+  b = (1.0 - 2.0 * (jnp.arange(H) + 0.5) / H) / f              # [H]
+  dirw = (a[None, :, None] * Rc[:, 0] + b[:, None, None] * Rc[:, 1]
+          - Rc[:, 2])                                          # [H, W, 3]
+
+  tex = None
+  if scene.tex_default.shape[0]:
+    tex = (jnp.asarray(scene.tex_default, jnp.float32) if textures is None
+           else jnp.asarray(textures, jnp.float32))
+  Rt = scene.tex_res
+
+  best_depth = jnp.full((H, W), r.zfar, jnp.float32)
+  best_colp = sky
+  sg = _RECT_SHADOW_GRID
+  gl = np.linspace(-1.0, 1.0, sg + 1)
+
+  for k in range(nrect):
+    g = int(scene.rect_geom[k])
+    hx, hy = float(scene.rect_half[k, 0]), float(scene.rect_half[k, 1])
+    off = jnp.asarray(scene.rect_off[k])
+    Rg = gm.quat_to_mat(kin.geom_xquat[g])
+    center = kin.geom_xpos[g] + Rg @ off
+    U, V, N = Rg[:, 0], Rg[:, 1], Rg[:, 2]
+
+    denom = dirw @ N                               # [H, W]
+    safe = jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0)
+    s = ((center - cam_pos) @ N) / safe            # [H, W] ray parameter
+    rel = cam_pos - center
+    lu = s * (dirw @ U) + rel @ U                  # [H, W] in-plane coords
+    lv = s * (dirw @ V) + rel @ V
+    inside = ((jnp.abs(denom) > 1e-9) & (s > r.znear) &
+              (jnp.abs(lu) <= hx) & (jnp.abs(lv) <= hy) &
+              (rgba[g, 3] > 0.5))  # per-env visibility, as the tri path
+
+    slot = int(scene.rect_slot[k])
+    if slot >= 0 and tex is not None:
+      # per-pixel texel lookup, same texel mapping as scene._grid_quad
+      iu = jnp.clip(((lu / hx * 0.5 + 0.5) * Rt).astype(jnp.int32),
+                    0, Rt - 1)
+      iv = jnp.clip(((0.5 - lv / hy * 0.5) * Rt).astype(jnp.int32),
+                    0, Rt - 1)
+      base = tex[slot][iv, iu]                     # [H, W, 3]
+    else:
+      base = jnp.broadcast_to(rgba[g, :3], (H, W, 3))
+
+    # flat shading, normal oriented toward the camera (matches the
+    # triangle path's double-sided shading)
+    n_o = N * jnp.sign(rel @ N + 1e-12)
+    if model.nlight:
+      if model.light_directional[0]:
+        diff = jnp.maximum(jnp.dot(n_o, -model.light_dir[0]), 0.0)
+        diff = jnp.broadcast_to(diff, (H, W))
+      else:
+        q_pix = cam_pos + s[..., None] * dirw      # [H, W, 3]
+        l = model.light_pos[0] - q_pix
+        l = l / jnp.maximum(jnp.linalg.norm(l, axis=-1, keepdims=True),
+                            1e-9)
+        diff = jnp.maximum(l @ n_o, 0.0)
+    else:
+      diff = jnp.broadcast_to(jnp.maximum(n_o[2], 0.0), (H, W))
+
+    if (r.shadows and model.nlight and bool(scene.rect_recv[k]) and
+        (scene.shadow_cast.size or r.shadow_caps)):
+      # light visibility on a (SG+1)^2 grid, bilinear per pixel
+      gu, gv = np.meshgrid(gl * hx, gl * hy, indexing='ij')
+      gu = jnp.asarray(gu.ravel()[:, None], jnp.float32)
+      gv = jnp.asarray(gv.ravel()[:, None], jnp.float32)
+      pts = center[None, :] + gu * U[None, :] + gv * V[None, :]
+      occ = _occlude_points(r, kin, world, pts).reshape(sg + 1, sg + 1)
+      fu = jnp.clip((lu / hx * 0.5 + 0.5) * sg, 0.0, sg - 1e-4)
+      fv = jnp.clip((lv / hy * 0.5 + 0.5) * sg, 0.0, sg - 1e-4)
+      iu0 = fu.astype(jnp.int32)
+      iv0 = fv.astype(jnp.int32)
+      wu = fu - iu0
+      wv = fv - iv0
+      o00 = occ[iu0, iv0]
+      o10 = occ[iu0 + 1, iv0]
+      o01 = occ[iu0, iv0 + 1]
+      o11 = occ[iu0 + 1, iv0 + 1]
+      occ_pix = ((1 - wu) * (1 - wv) * o00 + wu * (1 - wv) * o10 +
+                 (1 - wu) * wv * o01 + wu * wv * o11)
+      diff = diff * (1.0 - occ_pix)
+
+    shade = jnp.clip(0.45 + 0.6 * diff, 0.0, 1.1)
+    cr = jnp.clip(base[..., 0] * shade * 255.0, 0.0, 255.0)
+    cg = jnp.clip(base[..., 1] * shade * 255.0, 0.0, 255.0)
+    cb_ = jnp.clip(base[..., 2] * shade * 255.0, 0.0, 255.0)
+    colp = (jnp.floor(cr) * 65536.0 + jnp.floor(cg) * 256.0 +
+            jnp.floor(cb_))
+
+    win = inside & (s < best_depth)
+    best_depth = jnp.where(win, s, best_depth)
+    best_colp = jnp.where(win, colp, best_colp)
+
+  return best_depth, best_colp
 
 
 def _pack_sky(sky_rgb) -> float:
@@ -682,12 +831,18 @@ def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array],
   npx = TS * TS
 
   rgba = model.geom_rgba if geom_rgba is None else geom_rgba
-  tp = _project_and_shade(r, kin, rgba, textures)
+  cam = _camera(r, kin)
+  world = _vertex_world(r, kin)
+  tp = _project_and_shade(r, kin, rgba, textures, cam=cam, world=world)
 
   backend = r.backend
   if backend == 'auto':
     backend = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
-  if backend == 'pallas' and ty % 4 == 0 and tx % 4 == 0:
+  if r.scene.tri.shape[0] == 0:
+    # rect-only scene: the analytic layer is the whole image
+    depth = jnp.full((H, W), jnp.inf, jnp.float32)
+    cimg = jnp.zeros((H, W), jnp.float32)
+  elif backend == 'pallas' and ty % 4 == 0 and tx % 4 == 0:
     MS = 2
     planes = _bin_pallas(r, tp)                  # [K2, n_tiles] mid-major
     # off-TPU an explicit backend='pallas' runs the same kernel in
@@ -698,10 +853,9 @@ def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array],
                                       != 'tpu')
     hit = izbuf > 0.0
     depth = _compose_midmajor(
-        jnp.where(hit, 1.0 / jnp.maximum(izbuf, 1e-9), r.zfar),
+        jnp.where(hit, 1.0 / jnp.maximum(izbuf, 1e-9), jnp.inf),
         ty, tx, TS, MS)
     cimg = _compose_midmajor(cbuf, ty, tx, TS, MS)
-    rgb = _unpack_col(cimg)                      # [H, W, 3] uint8
   else:
     top_idx, slot_ok = _bin_flat(r, tp)
     orx = ((jnp.arange(n_tiles) % tx) * TS).astype(jnp.float32)[:, None]
@@ -715,13 +869,21 @@ def _render(r: Renderer, kin: Kin, geom_rgba: Optional[jax.Array],
     ]
     zbuf, cbuf = _raster_jnp(r, planes, n_tiles, npx)
     hit = jnp.isfinite(zbuf)
-    depth_tiles = jnp.where(hit, zbuf, r.zfar)
+    depth_tiles = jnp.where(hit, zbuf, jnp.inf)
     # unpack color only after the [H, W] reshape so no [tiles, npx, 3]
     # intermediate exists to lane-pad
     cimg = cbuf.reshape(ty, tx, TS, TS).transpose(0, 2, 1, 3).reshape(H, W)
-    rgb = _unpack_col(cimg)                      # [H, W, 3] uint8
     depth = depth_tiles.reshape(ty, tx, TS, TS).transpose(0, 2, 1, 3)
     depth = depth.reshape(H, W)
+
+  # composite the analytic background layer (planes + textured box tops):
+  # triangles win only where strictly nearer; rect-missed pixels carry the
+  # sky color + zfar depth, preserving the previous sky semantics
+  bg_depth, bg_colp = _analytic_bg(r, kin, rgba, textures, cam, world)
+  tri_wins = depth < bg_depth
+  cimg = jnp.where(tri_wins, cimg, bg_colp)
+  depth = jnp.where(tri_wins, depth, bg_depth)
+  rgb = _unpack_col(cimg)                        # [H, W, 3] uint8
 
   if r.depth_gl:
     zn, zf = r.znear, r.zfar

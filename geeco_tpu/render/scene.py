@@ -51,6 +51,18 @@ class RenderScene(NamedTuple):
   # averaged per triangle (soft 0/1/3..1 edge levels)
   shadow_pts: np.ndarray     # [Pv] int32 vertex ids
   shadow_recv_pt: np.ndarray  # [Rr, 3] int32 indices into shadow_pts
+  # --- analytic rects (planes + textured box top faces) -----------------
+  # Large flat surfaces are NOT tessellated into triangles: the rasterizer
+  # ray-casts them analytically per pixel (exact edges, per-pixel texels,
+  # zero binning load).  Round-3 fix: their texel-grid triangles were
+  # small, got no big-triangle binning protection, and dense robot-mesh
+  # columns evicted them -> sky holes behind the robot (caught by the
+  # golden MuJoCo ray-cast parity fixture).
+  rect_geom: np.ndarray   # [R] int32 geom id
+  rect_off: np.ndarray    # [R, 3] f32 rect center offset in geom frame
+  rect_half: np.ndarray   # [R, 2] f32 in-plane half extents
+  rect_slot: np.ndarray   # [R] int32 texture slot, -1 = flat geom color
+  rect_recv: np.ndarray   # [R] bool static shadow receiver
 
 
 # ------------------------------------------------------------- tessellation
@@ -212,7 +224,8 @@ def _sample_texture(img: np.ndarray, repx: float, repy: float) -> np.ndarray:
 def build_render_scene(model: Model, assets: Assets,
                        mesh_face_budget: int = _MESH_FACE_BUDGET,
                        skip_alpha_below: float = 0.01,
-                       tex_grid: int = _TEX_GRID) -> RenderScene:
+                       tex_grid: int = _TEX_GRID,
+                       analytic_rects: bool = True) -> RenderScene:
   all_v, all_vg, all_f, all_fg = [], [], [], []
   all_slot, all_texel = [], []
   tex_default, tex_slot_geom = [], []
@@ -255,6 +268,20 @@ def build_render_scene(model: Model, assets: Assets,
                      if texel is None else texel)
     voff += v.shape[0]
 
+  rect_geom, rect_off, rect_half, rect_slot = [], [], [], []
+
+  def emit_rect(g, off, half, tex):
+    slot = -1
+    if tex is not None:
+      img, repx, repy = tex
+      slot = len(tex_default)
+      tex_default.append(_sample_texture(img, repx, repy))
+      tex_slot_geom.append(g)
+    rect_geom.append(g)
+    rect_off.append(off)
+    rect_half.append(half)
+    rect_slot.append(slot)
+
   for g in range(model.ngeom):
     gtype = model.geom_type[g]
     size = np.asarray(model.geom_size[g])
@@ -264,6 +291,9 @@ def build_render_scene(model: Model, assets: Assets,
     if gtype == PLANE:
       hx = size[0] if size[0] > 0 else _PLANE_DEFAULT_HALF
       hy = size[1] if size[1] > 0 else _PLANE_DEFAULT_HALF
+      if analytic_rects:
+        emit_rect(g, (0.0, 0.0, 0.0), (hx, hy), tex)
+        continue
       if tex is not None:
         img, repx, repy = tex
         v, f, texel = _grid_quad(hx, hy, 0.0, grid_for(hx, hy))
@@ -277,6 +307,14 @@ def build_render_scene(model: Model, assets: Assets,
       f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
     elif gtype == BOX:
       if tex is not None:
+        if analytic_rects:
+          # analytic textured +z face; the 5 other faces keep the coarse
+          # box mesh with the material mean color
+          emit_rect(g, (0.0, 0.0, float(size[2])),
+                    (float(size[0]), float(size[1])), tex)
+          vb, fb = box_v * size[None, :], box_f[:10]  # drop the 2 +z faces
+          emit(vb, fb, g)
+          continue
         # tessellate + texture the +z face; the 5 other faces keep the
         # coarse box mesh with the material mean color
         img, repx, repy = tex
@@ -303,6 +341,13 @@ def build_render_scene(model: Model, assets: Assets,
       continue
     emit(v, f, g)
   S, R = len(tex_default), _TEX_RES
+  if not all_f:  # degenerate scene of only rects
+    all_v = [np.zeros((0, 3), np.float32)]
+    all_vg = [np.zeros(0, np.int32)]
+    all_f = [np.zeros((0, 3), np.int32)]
+    all_fg = [np.zeros(0, np.int32)]
+    all_slot = [np.zeros(0, np.int32)]
+    all_texel = [np.zeros(0, np.int32)]
   tri_geom_all = np.concatenate(all_fg)
   # body movability: any joint on the chain to world (for receivers);
   # free-jointed bodies (the loose task objects) are the triangle casters
@@ -338,4 +383,12 @@ def build_render_scene(model: Model, assets: Assets,
       shadow_cast=cast,
       shadow_pts=spts.astype(np.int32),
       shadow_recv_pt=sinv.reshape(-1, 3).astype(np.int32),
+      rect_geom=np.asarray(rect_geom, np.int32),
+      rect_off=(np.asarray(rect_off, np.float32)
+                if rect_geom else np.zeros((0, 3), np.float32)),
+      rect_half=(np.asarray(rect_half, np.float32)
+                 if rect_geom else np.zeros((0, 2), np.float32)),
+      rect_slot=np.asarray(rect_slot, np.int32),
+      rect_recv=(~movable[gb[np.asarray(rect_geom, np.int32)]]
+                 if rect_geom else np.zeros(0, bool)),
   )
