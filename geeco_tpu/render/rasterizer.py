@@ -62,6 +62,9 @@ class Renderer(NamedTuple):
   backend: str    # 'pallas' | 'jnp' | 'auto'
   shadows: bool   # occlusion-tested shadows on static receivers
   shadow_caps: Tuple[int, ...]  # capsule occluder geom ids (arm proxies)
+  rect_pixel_texels: bool  # full per-pixel texels on analytic rects
+  #                          (False = cell-quantized, visually matching
+  #                          the old tessellated path / existing datasets)
 
   # ------------------------------------------------------------------ api
 
@@ -85,7 +88,8 @@ def build_renderer(model: Model, assets: Assets, width: int = 256,
                    mesh_face_budget: int = 400, tex_grid: int = None,
                    depth_gl: bool = False, cull: int = -1,
                    coarse: int = 4, coarse_k: int = 512, mid_k: int = 192,
-                   backend: str = 'auto', shadows: bool = True) -> Renderer:
+                   backend: str = 'auto', shadows: bool = True,
+                   rect_pixel_texels: bool = False) -> Renderer:
   scene_kwargs = {} if tex_grid is None else {'tex_grid': tex_grid}
   scene = build_render_scene(model, assets, mesh_face_budget=mesh_face_budget,
                              **scene_kwargs)
@@ -105,7 +109,8 @@ def build_renderer(model: Model, assets: Assets, width: int = 256,
                   zfar=zfar, sky_rgb=sky, depth_gl=depth_gl, cull=cull,
                   coarse=coarse, coarse_k=min(coarse_k, scene.tri.shape[0]),
                   mid_k=min(mid_k, coarse_k), backend=backend,
-                  shadows=shadows, shadow_caps=caps)
+                  shadows=shadows, shadow_caps=caps,
+                  rect_pixel_texels=rect_pixel_texels)
 
 
 # ---------------------------------------------------------------------------
@@ -344,12 +349,6 @@ def _shadow_occlusion(r: Renderer, kin: Kin, world: jax.Array) -> jax.Array:
                                       ].set(occ_tri)
 
 
-# shadow sample grid per analytic rect: (SG+1)^2 light-visibility tests,
-# bilinearly interpolated per pixel (smoother than the old per-texel-quad
-# flat shadows at similar cost)
-_RECT_SHADOW_GRID = 16
-
-
 def _analytic_bg(r: Renderer, kin: Kin, rgba: jax.Array,
                  textures: Optional[jax.Array], cam, world):
   """Per-pixel ray-cast of the scene's analytic rects (planes, textured
@@ -386,8 +385,6 @@ def _analytic_bg(r: Renderer, kin: Kin, rgba: jax.Array,
 
   best_depth = jnp.full((H, W), r.zfar, jnp.float32)
   best_colp = sky
-  sg = _RECT_SHADOW_GRID
-  gl = np.linspace(-1.0, 1.0, sg + 1)
 
   for k in range(nrect):
     g = int(scene.rect_geom[k])
@@ -407,13 +404,26 @@ def _analytic_bg(r: Renderer, kin: Kin, rgba: jax.Array,
               (jnp.abs(lu) <= hx) & (jnp.abs(lv) <= hy) &
               (rgba[g, 3] > 0.5))  # per-env visibility, as the tri path
 
+    # in-plane cell coordinates: by default texels and the point-light
+    # query are quantized to the G x G cells the tessellated path used
+    # (visual parity with datasets collected by that path); per-pixel
+    # mode (rect_pixel_texels) samples the full texel grid instead
+    G = int(scene.rect_grid[k])
+    u01 = lu / hx * 0.5 + 0.5                      # [H, W] in [0, 1]
+    v01 = lv / hy * 0.5 + 0.5
+    if r.rect_pixel_texels:
+      uq, vq = u01, v01
+    else:
+      ci = jnp.clip((u01 * G).astype(jnp.int32), 0, G - 1)
+      cj = jnp.clip((v01 * G).astype(jnp.int32), 0, G - 1)
+      uq = (ci.astype(jnp.float32) + 0.5) / G      # cell centers
+      vq = (cj.astype(jnp.float32) + 0.5) / G
+
     slot = int(scene.rect_slot[k])
     if slot >= 0 and tex is not None:
-      # per-pixel texel lookup, same texel mapping as scene._grid_quad
-      iu = jnp.clip(((lu / hx * 0.5 + 0.5) * Rt).astype(jnp.int32),
-                    0, Rt - 1)
-      iv = jnp.clip(((0.5 - lv / hy * 0.5) * Rt).astype(jnp.int32),
-                    0, Rt - 1)
+      # texel mapping as scene._grid_quad: image row 0 = +y edge
+      iu = jnp.clip((uq * Rt).astype(jnp.int32), 0, Rt - 1)
+      iv = jnp.clip(((1.0 - vq) * Rt).astype(jnp.int32), 0, Rt - 1)
       base = tex[slot][iv, iu]                     # [H, W, 3]
     else:
       base = jnp.broadcast_to(rgba[g, :3], (H, W, 3))
@@ -426,7 +436,10 @@ def _analytic_bg(r: Renderer, kin: Kin, rgba: jax.Array,
         diff = jnp.maximum(jnp.dot(n_o, -model.light_dir[0]), 0.0)
         diff = jnp.broadcast_to(diff, (H, W))
       else:
-        q_pix = cam_pos + s[..., None] * dirw      # [H, W, 3]
+        # light query at the (possibly cell-quantized) surface point
+        q_pix = (center[None, None, :] +
+                 ((uq * 2.0 - 1.0) * hx)[..., None] * U +
+                 ((vq * 2.0 - 1.0) * hy)[..., None] * V)  # [H, W, 3]
         l = model.light_pos[0] - q_pix
         l = l / jnp.maximum(jnp.linalg.norm(l, axis=-1, keepdims=True),
                             1e-9)
@@ -436,7 +449,11 @@ def _analytic_bg(r: Renderer, kin: Kin, rgba: jax.Array,
 
     if (r.shadows and model.nlight and bool(scene.rect_recv[k]) and
         (scene.shadow_cast.size or r.shadow_caps)):
-      # light visibility on a (SG+1)^2 grid, bilinear per pixel
+      # light visibility on the rect's (G+1)^2 grid — the same sample
+      # density the tessellated path tested at its texel-quad vertices —
+      # bilinearly interpolated per pixel
+      sg = G
+      gl = np.linspace(-1.0, 1.0, sg + 1)
       gu, gv = np.meshgrid(gl * hx, gl * hy, indexing='ij')
       gu = jnp.asarray(gu.ravel()[:, None], jnp.float32)
       gv = jnp.asarray(gv.ravel()[:, None], jnp.float32)
@@ -446,14 +463,19 @@ def _analytic_bg(r: Renderer, kin: Kin, rgba: jax.Array,
       fv = jnp.clip((lv / hy * 0.5 + 0.5) * sg, 0.0, sg - 1e-4)
       iu0 = fu.astype(jnp.int32)
       iv0 = fv.astype(jnp.int32)
-      wu = fu - iu0
-      wv = fv - iv0
       o00 = occ[iu0, iv0]
       o10 = occ[iu0 + 1, iv0]
       o01 = occ[iu0, iv0 + 1]
       o11 = occ[iu0 + 1, iv0 + 1]
-      occ_pix = ((1 - wu) * (1 - wv) * o00 + wu * (1 - wv) * o10 +
-                 (1 - wu) * wv * o01 + wu * wv * o11)
+      if r.rect_pixel_texels:
+        wu = fu - iu0
+        wv = fv - iv0
+        occ_pix = ((1 - wu) * (1 - wv) * o00 + wu * (1 - wv) * o10 +
+                   (1 - wu) * wv * o01 + wu * wv * o11)
+      else:
+        # flat per-cell shadow (4-corner mean), matching the tessellated
+        # path's per-triangle vertex-averaged shadows on existing datasets
+        occ_pix = 0.25 * (o00 + o10 + o01 + o11)
       diff = diff * (1.0 - occ_pix)
 
     shade = jnp.clip(0.45 + 0.6 * diff, 0.0, 1.1)

@@ -63,6 +63,9 @@ class RenderScene(NamedTuple):
   rect_half: np.ndarray   # [R, 2] f32 in-plane half extents
   rect_slot: np.ndarray   # [R] int32 texture slot, -1 = flat geom color
   rect_recv: np.ndarray   # [R] bool static shadow receiver
+  rect_grid: np.ndarray   # [R] int32 texel-cell grid G (visual parity with
+  #                         the tessellated path: texels quantized to the
+  #                         G x G cells the old _grid_quad would have used)
 
 
 # ------------------------------------------------------------- tessellation
@@ -268,7 +271,7 @@ def build_render_scene(model: Model, assets: Assets,
                      if texel is None else texel)
     voff += v.shape[0]
 
-  rect_geom, rect_off, rect_half, rect_slot = [], [], [], []
+  rect_geom, rect_off, rect_half, rect_slot, rect_grid = [], [], [], [], []
 
   def emit_rect(g, off, half, tex):
     slot = -1
@@ -281,6 +284,7 @@ def build_render_scene(model: Model, assets: Assets,
     rect_off.append(off)
     rect_half.append(half)
     rect_slot.append(slot)
+    rect_grid.append(grid_for(half[0], half[1]))
 
   for g in range(model.ngeom):
     gtype = model.geom_type[g]
@@ -391,4 +395,5 @@ def build_render_scene(model: Model, assets: Assets,
       rect_slot=np.asarray(rect_slot, np.int32),
       rect_recv=(~movable[gb[np.asarray(rect_geom, np.int32)]]
                  if rect_geom else np.zeros(0, bool)),
+      rect_grid=np.asarray(rect_grid, np.int32),
   )

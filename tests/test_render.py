@@ -171,7 +171,7 @@ def test_pallas_kernel_matches_jnp_reference():
                   tile=TS, tris_per_tile=K, chunk=8, znear=0.05, zfar=10.0,
                   sky_rgb=(0, 0, 0), depth_gl=False, cull=0, coarse=0,
                   coarse_k=K, mid_k=K, backend='jnp', shadows=False,
-                  shadow_caps=())
+                  shadow_caps=(), rect_pixel_texels=False)
   zbuf_ref, cbuf_ref = rz._raster_jnp(r, ref_planes, n_tiles, TS * TS)
   zbuf_ref = np.asarray(zbuf_ref).T              # -> [npx, n_tiles]
   cbuf_ref = np.where(np.isfinite(zbuf_ref),
