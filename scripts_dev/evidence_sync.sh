@@ -11,7 +11,7 @@ ART=artifacts/r3
 mkdir -p "$ART"
 while :; do
   cp -f /root/models/geeco-f/metrics.jsonl      "$ART/" 2>/dev/null
-  cp -f /root/models/geeco-f/config.json        "$ART/" 2>/dev/null
+  cp -f /root/models/geeco-f/*config*.json      "$ART/" 2>/dev/null
   cp -f /root/models/geeco-f/*runcmd.json       "$ART/" 2>/dev/null
   cp -f /tmp/collect_stats.txt                  "$ART/" 2>/dev/null
   cp -f /tmp/pipeline.log                       "$ART/pipeline.log" 2>/dev/null
@@ -24,8 +24,10 @@ while :; do
   done
   if ! git diff --quiet -- "$ART" 2>/dev/null || \
      [ -n "$(git status --porcelain "$ART")" ]; then
+    nlines=0
+    [ -f "$ART/metrics.jsonl" ] && nlines=$(wc -l < "$ART/metrics.jsonl")
     git add "$ART"
-    git commit -q -m "r3 evidence sync: $(date -u +%H:%M) $(wc -l < "$ART/metrics.jsonl" 2>/dev/null || echo 0) metric lines" \
+    git commit -q -m "r3 evidence sync: $(date -u +%H:%M) $nlines metric lines" \
       || true
   fi
   sleep 600
