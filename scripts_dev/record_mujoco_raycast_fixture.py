@@ -10,7 +10,7 @@ ground truth available: it pins the camera model (pose, fovy, aspect),
 every silhouette, and all occlusion relationships.  Color/lighting are
 this framework's own design and are not compared.
 
-Output: tests/fixtures/mujoco_raycast_pad2cube2.npz
+Output per scene: tests/fixtures/mujoco_raycast_<tag>.npz
   qpos      [F, nq]      mujoco qpos per frame (after mj_forward)
   mocap_pos [F, 1, 3], mocap_quat [F, 1, 4]
   depth     [F, H, W]    z-depth along camera -z axis; -1 where no hit
@@ -26,12 +26,23 @@ import numpy as np
 
 H = W = 256
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-XML = os.path.join(REPO, 'geeco_tpu', 'assets_gym', 'envs',
-                   'geeco-pad2-cube2.xml')
-OUT = os.path.join(REPO, 'tests', 'fixtures',
-                   'mujoco_raycast_pad2cube2.npz')
-PICK_FX = os.path.join(REPO, 'tests', 'fixtures',
-                       'mujoco_pickplace_pad2cube2.npz')
+ENVDIR = os.path.join(REPO, 'geeco_tpu', 'assets_gym', 'envs')
+FIXDIR = os.path.join(REPO, 'tests', 'fixtures')
+
+# scene -> (xml, replay fixture providing a recorded init state, out tag,
+#           record the extra posed-arm frame?)
+SCENES = {
+    'pad2-cube2': ('geeco-pad2-cube2.xml',
+                   'mujoco_pickplace_pad2cube2.npz', 'pad2cube2', True),
+    'push-pad2-cube2': ('geeco-push-pad2-cube2.xml',
+                        'mujoco_pushing_pushpad2cube2.npz',
+                        'pushpad2cube2', False),
+    'pad2-cube2-clutter4': ('geeco-pad2-cube2-clutter4.xml',
+                            'mujoco_pickplace_pad2cube2clutter4.npz',
+                            'pad2cube2clutter4', False),
+    'nut-cone': ('geeco-nut-cone.xml',
+                 'mujoco_pickplace_nutcone.npz', 'nutcone', False),
+}
 
 
 def raycast(m, d, cam_id):
@@ -58,8 +69,8 @@ def raycast(m, d, cam_id):
   return depth, geomid_img
 
 
-def main():
-  m = mujoco.MjModel.from_xml_path(XML)
+def record_scene(scene, xml, replay_fx, tag, posed_arm):
+  m = mujoco.MjModel.from_xml_path(os.path.join(ENVDIR, xml))
   # non-viewer mode hides the ee debug crosshair (reference:
   # src/geeco_gym/pickplace.py:568-571 sets alpha 0; the repo env does the
   # same via rgba0) — mj_ray skips only fully-zero rgba geoms
@@ -71,7 +82,7 @@ def main():
   d = mujoco.MjData(m)
   cam_id = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_CAMERA,
                              'external_camera_1')
-  fx = np.load(PICK_FX)
+  fx = np.load(os.path.join(FIXDIR, replay_fx))
 
   frames = []
   # frame 0: scene defaults (objects at XML positions, arm at default)
@@ -79,7 +90,7 @@ def main():
   mujoco.mj_forward(m, d)
   frames.append((d.qpos.copy(), d.mocap_pos.copy(), d.mocap_quat.copy()))
 
-  # frame 1: the pick replay fixture's randomized object placement
+  # frame 1: the replay fixture's recorded randomized object placement
   mujoco.mj_resetData(m, d)
   for k, jname in enumerate(fx['obj_joint_names']):
     jid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, str(jname))
@@ -90,16 +101,17 @@ def main():
   mujoco.mj_forward(m, d)
   frames.append((d.qpos.copy(), d.mocap_pos.copy(), d.mocap_quat.copy()))
 
-  # frame 2: arm posed mid-workspace (exercises robot-link silhouettes)
-  for jname, val in (('robot0:shoulder_lift_joint', -0.5),
-                     ('robot0:elbow_flex_joint', 0.8),
-                     ('robot0:wrist_flex_joint', 0.6),
-                     ('robot0:l_gripper_finger_joint', 0.04),
-                     ('robot0:r_gripper_finger_joint', 0.04)):
-    jid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, jname)
-    d.qpos[m.jnt_qposadr[jid]] = val
-  mujoco.mj_forward(m, d)
-  frames.append((d.qpos.copy(), d.mocap_pos.copy(), d.mocap_quat.copy()))
+  if posed_arm:
+    # frame 2: arm posed mid-workspace (exercises robot-link silhouettes)
+    for jname, val in (('robot0:shoulder_lift_joint', -0.5),
+                       ('robot0:elbow_flex_joint', 0.8),
+                       ('robot0:wrist_flex_joint', 0.6),
+                       ('robot0:l_gripper_finger_joint', 0.04),
+                       ('robot0:r_gripper_finger_joint', 0.04)):
+      jid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, jname)
+      d.qpos[m.jnt_qposadr[jid]] = val
+    mujoco.mj_forward(m, d)
+    frames.append((d.qpos.copy(), d.mocap_pos.copy(), d.mocap_quat.copy()))
 
   qpos, mpos, mquat, depths, gids = [], [], [], [], []
   for k, (q, mp, mq) in enumerate(frames):
@@ -109,7 +121,7 @@ def main():
     d.mocap_quat[:] = mq
     mujoco.mj_forward(m, d)
     dep, gid = raycast(m, d, cam_id)
-    print(f'frame {k}: hit {np.mean(dep > 0):.3f}, '
+    print(f'{scene} frame {k}: hit {np.mean(dep > 0):.3f}, '
           f'z range [{dep[dep > 0].min():.3f}, {dep.max():.3f}]')
     qpos.append(q)
     mpos.append(mp)
@@ -117,11 +129,20 @@ def main():
     depths.append(dep)
     gids.append(gid)
 
+  out = os.path.join(FIXDIR, f'mujoco_raycast_{tag}.npz')
   np.savez_compressed(
-      OUT, qpos=np.stack(qpos), mocap_pos=np.stack(mpos),
+      out, qpos=np.stack(qpos), mocap_pos=np.stack(mpos),
       mocap_quat=np.stack(mquat), depth=np.stack(depths),
-      geomid=np.stack(gids), height=H, width=W)
-  print('wrote', OUT)
+      geomid=np.stack(gids), height=H, width=W, scene=scene)
+  print('wrote', out)
+
+
+def main():
+  import sys
+  only = sys.argv[1:] or list(SCENES)
+  for scene in only:
+    xml, replay_fx, tag, posed = SCENES[scene]
+    record_scene(scene, xml, replay_fx, tag, posed)
 
 
 if __name__ == '__main__':

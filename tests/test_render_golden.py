@@ -3,21 +3,20 @@
 The build image has no OpenGL stack (no /dev/dri, EGL init fails, no
 OSMesa), so the reference's actual rendered RGB frames
 (src/geeco_gym/pickplace.py:260-264) cannot be reproduced here.  Instead
-the fixture stores per-pixel ray-cast z-depth from ``mujoco.mj_ray`` at
+the fixtures store per-pixel ray-cast z-depth from ``mujoco.mj_ray`` at
 the same camera (``external_camera_1``, fovy/pose from the vendored MJCF)
 — real-MuJoCo ground truth for the camera model, every silhouette, and
 all occlusion relationships (recorded by
-scripts_dev/record_mujoco_raycast_fixture.py).
+scripts_dev/record_mujoco_raycast_fixture.py).  The debug ee-crosshair is
+zeroed on both sides, matching what recorded policy frames contain
+(reference pickplace.py:568-571; repo env rgba0).
 
-The debug ee-crosshair is zeroed on both sides, matching what recorded
-policy frames actually contain (reference pickplace.py:568-571; repo
-env rgba0).
-
-Measured parity (2026-08-20, this fixture): median error exact (0 mm,
-all flat interior pixels), zero dropped-geometry (sky) pixels,
-mismatched pixels >2 cm: 2.6-3.1% jnp / 4.0-5.1% pallas (silhouette
-edge pixels plus decimated-hull mesh geoms), p95 2-4 mm jnp / 5-21 mm
-pallas, foreground silhouette IoU 0.979-0.996.
+Measured parity (2026-08-20, analytic-rect renderer): median depth error
+exact (0 mm, all flat interior pixels), zero dropped-geometry (sky)
+pixels on every scene/backend, mismatched pixels >2 cm: 2.6-3.4% jnp /
+4.0-5.1% pallas (silhouette edge pixels plus decimated-hull mesh geoms),
+foreground silhouette IoU 0.974-0.996 (lowest on nut-cone: decimated
+convex hulls vs exact meshes).
 """
 
 import os
@@ -32,28 +31,25 @@ from geeco_tpu.core.model import State
 from geeco_tpu.physics import kinematics as kin
 from geeco_tpu.render.rasterizer import build_renderer
 
-FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       'fixtures', 'mujoco_raycast_pad2cube2.npz')
-XML = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), 'geeco_tpu', 'assets_gym', 'envs',
-    'geeco-pad2-cube2.xml')
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      'fixtures')
+ENVDIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'geeco_tpu', 'assets_gym', 'envs')
+
+CASES = [  # (fixture tag, scene xml, backends to run)
+    ('pad2cube2', 'geeco-pad2-cube2.xml', ('jnp', 'pallas')),
+    ('pushpad2cube2', 'geeco-push-pad2-cube2.xml', ('jnp',)),
+    pytest.param('pad2cube2clutter4', 'geeco-pad2-cube2-clutter4.xml',
+                 ('jnp',), marks=pytest.mark.slow),
+    pytest.param('nutcone', 'geeco-nut-cone.xml', ('jnp',),
+                 marks=pytest.mark.slow),
+]
 
 
-@pytest.fixture(scope='module')
-def golden():
-  return np.load(FIXTURE)
-
-
-@pytest.fixture(scope='module')
-def model_assets():
-  return mjcf.load_model(XML)
-
-
-@pytest.mark.parametrize('backend', ['jnp', 'pallas'])
-def test_depth_matches_mujoco_raycast(golden, model_assets, backend):
-  m, assets = model_assets
-  H = int(golden['height'])
-  W = int(golden['width'])
+def _render_all(tag, xml, backend):
+  golden = np.load(os.path.join(FIXDIR, f'mujoco_raycast_{tag}.npz'))
+  m, assets = mjcf.load_model(os.path.join(ENVDIR, xml))
+  H, W = int(golden['height']), int(golden['width'])
   r = build_renderer(m, assets, width=W, height=H, backend=backend)
   for k in range(golden['qpos'].shape[0]):
     st = State(qpos=jnp.asarray(golden['qpos'][k]),
@@ -61,43 +57,36 @@ def test_depth_matches_mujoco_raycast(golden, model_assets, backend):
                mocap_pos=jnp.asarray(golden['mocap_pos'][k]),
                mocap_quat=jnp.asarray(golden['mocap_quat'][k]),
                time=jnp.asarray(0.0))
-    K = kin.fk(m, st)
-    _, depth = r.render(K)
-    d = np.asarray(depth)
-    g = golden['depth'][k]
-    err = np.abs(d - g)
-    # no dropped geometry: every golden-hit pixel must be drawn
-    miss = np.mean((d > 9.9) & (g > 0))
-    assert miss < 1e-3, f'frame {k}: {miss:.4f} sky holes'
-    # interior pixels are exact: the camera model and flat-surface
-    # geometry agree to float precision
-    assert np.median(err) < 1e-3, f'frame {k}: median {np.median(err)}'
-    # silhouette edges + decimated mesh hulls bound the mismatch area
-    frac2cm = np.mean(err > 0.02)
-    assert frac2cm < 0.07, f'frame {k}: frac>2cm {frac2cm:.4f}'
-    frac10cm = np.mean(err > 0.10)
-    assert frac10cm < 0.05, f'frame {k}: frac>10cm {frac10cm:.4f}'
+    _, depth = r.render(kin.fk(m, st))
+    yield k, np.asarray(depth), golden['depth'][k]
 
 
-def test_silhouette_iou_vs_mujoco(golden, model_assets):
-  """Object-pixel silhouettes (anything nearer than the background walls)
+@pytest.mark.parametrize('tag,xml,backends', CASES)
+def test_depth_matches_mujoco_raycast(tag, xml, backends):
+  for backend in backends:
+    for k, d, g in _render_all(tag, xml, backend):
+      err = np.abs(d - g)
+      # no dropped geometry: every golden-hit pixel must be drawn
+      miss = np.mean((d > 9.9) & (g > 0))
+      assert miss < 1e-3, f'{backend} frame {k}: {miss:.4f} sky holes'
+      # interior pixels are exact: camera model and flat-surface
+      # geometry agree to float precision
+      assert np.median(err) < 1e-3, \
+          f'{backend} frame {k}: median {np.median(err)}'
+      # silhouette edges + decimated mesh hulls bound the mismatch area
+      frac2cm = np.mean(err > 0.02)
+      assert frac2cm < 0.07, f'{backend} frame {k}: frac>2cm {frac2cm:.4f}'
+      frac10cm = np.mean(err > 0.10)
+      assert frac10cm < 0.05, \
+          f'{backend} frame {k}: frac>10cm {frac10cm:.4f}'
+
+
+@pytest.mark.parametrize('tag,xml,backends', CASES)
+def test_silhouette_iou_vs_mujoco(tag, xml, backends):
+  """Foreground silhouettes (anything nearer than the background walls)
   must overlap the MuJoCo ray-cast silhouette at high IoU."""
-  m, assets = model_assets
-  H = int(golden['height'])
-  W = int(golden['width'])
-  r = build_renderer(m, assets, width=W, height=H, backend='jnp')
-  for k in range(golden['qpos'].shape[0]):
-    st = State(qpos=jnp.asarray(golden['qpos'][k]),
-               qvel=jnp.zeros(m.nv), ctrl=jnp.zeros(9),
-               mocap_pos=jnp.asarray(golden['mocap_pos'][k]),
-               mocap_quat=jnp.asarray(golden['mocap_quat'][k]),
-               time=jnp.asarray(0.0))
-    K = kin.fk(m, st)
-    _, depth = r.render(K)
-    d = np.asarray(depth)
-    g = golden['depth'][k]
-    # foreground = closer than 2.0 m (table top, objects, robot)
+  for k, d, g in _render_all(tag, xml, 'jnp'):
     ours = d < 2.0
     mjs = g < 2.0
     iou = (ours & mjs).sum() / max((ours | mjs).sum(), 1)
-    assert iou > 0.97, f'frame {k}: silhouette IoU {iou:.4f}'
+    assert iou > 0.965, f'frame {k}: silhouette IoU {iou:.4f}'
