@@ -89,8 +89,16 @@ def build_renderer(model: Model, assets: Assets, width: int = 256,
                    depth_gl: bool = False, cull: int = -1,
                    coarse: int = 4, coarse_k: int = 512, mid_k: int = 192,
                    backend: str = 'auto', shadows: bool = True,
-                   rect_pixel_texels: bool = False) -> Renderer:
+                   rect_pixel_texels: bool = False,
+                   analytic_rects: bool = False) -> Renderer:
+  # analytic_rects defaults OFF: the per-pixel background layer measured
+  # 41 ms/frame at B=128 on TPU (the ~36 ms is six separate per-rect
+  # occlusion passes + per-pixel grid indexing) vs 0.55 ms for the
+  # tessellated path.  It stays available for small-resolution rendering
+  # (immune to tile-budget overflow) until the per-env background cache +
+  # single shared occlusion pass land (STATUS.md round-3 perf notes).
   scene_kwargs = {} if tex_grid is None else {'tex_grid': tex_grid}
+  scene_kwargs['analytic_rects'] = analytic_rects
   scene = build_render_scene(model, assets, mesh_face_budget=mesh_face_budget,
                              **scene_kwargs)
   # sky color: mean of the builtin gradient skybox texture

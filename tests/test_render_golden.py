@@ -36,8 +36,9 @@ FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 ENVDIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'geeco_tpu', 'assets_gym', 'envs')
 
-CASES = [  # (fixture tag, scene xml, backends to run)
-    ('pad2cube2', 'geeco-pad2-cube2.xml', ('jnp', 'pallas')),
+CASES = [  # (fixture tag, scene xml, renderer variants to run)
+    ('pad2cube2', 'geeco-pad2-cube2.xml',
+     ('jnp', 'pallas', 'jnp-analytic')),
     ('pushpad2cube2', 'geeco-push-pad2-cube2.xml', ('jnp',)),
     pytest.param('pad2cube2clutter4', 'geeco-pad2-cube2-clutter4.xml',
                  ('jnp',), marks=pytest.mark.slow),
@@ -46,11 +47,13 @@ CASES = [  # (fixture tag, scene xml, backends to run)
 ]
 
 
-def _render_all(tag, xml, backend):
+def _render_all(tag, xml, variant):
   golden = np.load(os.path.join(FIXDIR, f'mujoco_raycast_{tag}.npz'))
   m, assets = mjcf.load_model(os.path.join(ENVDIR, xml))
   H, W = int(golden['height']), int(golden['width'])
-  r = build_renderer(m, assets, width=W, height=H, backend=backend)
+  backend, _, opt = variant.partition('-')
+  r = build_renderer(m, assets, width=W, height=H, backend=backend,
+                     analytic_rects=(opt == 'analytic'))
   for k in range(golden['qpos'].shape[0]):
     st = State(qpos=jnp.asarray(golden['qpos'][k]),
                qvel=jnp.zeros(m.nv), ctrl=jnp.zeros(9),
