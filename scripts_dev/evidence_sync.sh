@@ -15,12 +15,18 @@ while :; do
   cp -f /root/models/geeco-f/*runcmd.json       "$ART/" 2>/dev/null
   cp -f /tmp/collect_stats.txt                  "$ART/" 2>/dev/null
   cp -f /tmp/pipeline.log                       "$ART/pipeline.log" 2>/dev/null
-  # eval outputs land under /root/eval/geeco-f/<ts>/
+  # eval outputs land under /root/eval/<run>/controller/
   for f in /root/eval/geeco-f/*/final_results.txt; do
     [ -e "$f" ] && cp -f "$f" "$ART/final_results.txt"
   done
   for f in /root/eval/geeco-f/*/eval_results.csv; do
     [ -e "$f" ] && cp -f "$f" "$ART/eval_results.csv"
+  done
+  for f in /root/eval/geeco-f-legacy/*/final_results.txt; do
+    [ -e "$f" ] && cp -f "$f" "$ART/final_results_legacy_rerun.txt"
+  done
+  for f in /root/eval/geeco-f-legacy/*/eval_results.csv; do
+    [ -e "$f" ] && cp -f "$f" "$ART/eval_results_legacy_rerun.csv"
   done
   if ! git diff --quiet -- "$ART" 2>/dev/null || \
      [ -n "$(git status --porcelain "$ART")" ]; then
