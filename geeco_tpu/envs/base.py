@@ -151,6 +151,14 @@ class ResetSpec(NamedTuple):
   mocap_qpos: jax.Array  # [7]
   task_goal: jax.Array   # int32 index into env.goal_sites
   task_object: jax.Array  # int32 index into env.cube_sites
+  # optional [n_arm+n_finger] recorded arm/gripper joint positions
+  # (monitored_joints order).  Restoring them makes reset_to reproduce a
+  # RECORDED initial state exactly: settling the default pose against the
+  # episode's mocap does NOT converge to the recorded arm pose within
+  # settle_steps, which put the policy's jnt_state input far off the
+  # training manifold at t=0 (round-3: eval jnt [−0.00,−0.86,…,1.46,…]
+  # vs recorded [0.41,0.48,…,0.00,…] -> 0% closed-loop success).
+  arm_qpos: Optional[jax.Array] = None
 
 
 # ---------------------------------------------------------------- env
@@ -400,6 +408,9 @@ class GeecoEnv:
       q = spec.obj_qpos[i]
       q = q.at[2].add(0.025)  # table-height adjust (pickplace.py:466)
       qpos = set_joint_qpos(self.model, qpos, jname, q)
+    if spec.arm_qpos is not None:
+      for i, jname in enumerate(self.monitored_joints):
+        qpos = set_joint_qpos(self.model, qpos, jname, spec.arm_qpos[i])
     phys = es.phys.replace(
         qpos=qpos, qvel=jnp.zeros_like(es.phys.qvel),
         mocap_pos=spec.mocap_qpos[:3][None],

@@ -340,6 +340,7 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
   if n_eps > 0:
     paths = paths[:n_eps]
   objq, mocapq, goals, objs, tgts, tgt_depths = [], [], [], [], [], []
+  armq = []
   for p in paths:
     ep, ctx = load_episode(p)
     oq = np.stack([np.asarray(ep[f'object_qpos-{j}'][0])
@@ -348,6 +349,8 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
     oq[:, 2] -= 0.025          # reset_to re-adds the table-height adjust
     objq.append(oq)
     mocapq.append(np.asarray(ep['mocap_qpos-robot0:mocap'][0]))
+    armq.append(np.asarray([ep[f'joint_qpos-{j}'][0]
+                            for j in env.monitored_joints]))
     goals.append(env.goal_sites.index(ctx['task_goal']))
     objs.append(env.cube_sites.index(ctx['task_object']))
     tgts.append(ep['rgb'][-1].astype(np.float32) / 255.0)
@@ -357,7 +360,10 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
       obj_qpos=jnp.asarray(np.stack(objq), jnp.float32),
       mocap_qpos=jnp.asarray(np.stack(mocapq), jnp.float32),
       task_goal=jnp.asarray(goals, jnp.int32),
-      task_object=jnp.asarray(objs, jnp.int32))
+      task_object=jnp.asarray(objs, jnp.int32),
+      # restore the recorded arm/gripper pose: settling the default pose
+      # against the recorded mocap does not reach it (see ResetSpec)
+      arm_qpos=jnp.asarray(np.stack(armq), jnp.float32))
   depths = (np.stack(tgt_depths) if len(tgt_depths) == len(paths) else None)
   return specs, np.stack(tgts), depths, len(paths)
 
