@@ -67,6 +67,10 @@ def _emit(note=''):
       'unit': 'env_steps/sec/chip',
       'vs_baseline': round(steps_per_sec / NORTH_STAR, 6),
   }
+  if note:
+    # machine-readable truncation marker: callers can distinguish a sweep
+    # cut short by SIGTERM/SIGALRM from a completed one (ADVICE.md round 3)
+    out['truncated'] = True
   print(json.dumps(out), flush=True)
   return True
 

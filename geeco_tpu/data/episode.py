@@ -128,11 +128,19 @@ def load_episode_tfrecord(path: str):
   if not examples:
     raise ValueError(f'no SequenceExample in {path}')
   raw_ctx, lists = examples[0]
+  # keys that are scalar strings in the npz JSON-sidecar schema; every
+  # other bytes_list context entry stays a list even when it has one
+  # element (e.g. monitored_mocaps=['robot0:mocap'] must not collapse to
+  # a str whose iteration yields characters; ADVICE.md round 3)
+  _scalar_str_keys = {'task_goal', 'task_object', 'encoding', 'scenario',
+                      'task'}
   context = {}
   for key, val in raw_ctx.items():
     if isinstance(val, list):  # bytes_list -> str / list[str]
       decoded = [v.decode() for v in val]
-      context[key] = decoded[0] if len(decoded) == 1 else decoded
+      context[key] = (decoded[0]
+                      if len(decoded) == 1 and key in _scalar_str_keys
+                      else decoded)
     else:
       arr = np.asarray(val)
       context[key] = arr.item() if arr.size == 1 else arr.tolist()
@@ -148,8 +156,13 @@ def load_episode_tfrecord(path: str):
       data['rgb'] = arr.reshape(len(frames), h, w, 3).astype(np.uint8)
     elif key == 'depth':
       data['depth'] = arr.reshape(len(frames), h, w).astype(np.float32)
-    elif arr.ndim == 2 and arr.shape[1] == 1:
-      data[key] = arr[:, 0]  # per-frame scalars were flattened to [T,1]
+    elif (arr.ndim == 2 and arr.shape[1] == 1
+          and (key in ('step', 'ts')
+               or key.startswith(('joint_qpos-', 'joint_qvel-')))):
+      # only KNOWN per-frame scalars squeeze back to [T]; vector features
+      # that happen to be 1-d (e.g. a dim_ctrl=1 'cmd') keep their [T, 1]
+      # shape to match the npz schema (ADVICE.md round 3)
+      data[key] = arr[:, 0]
     else:
       data[key] = arr
   return data, context

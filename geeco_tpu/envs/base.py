@@ -175,6 +175,7 @@ class GeecoEnv:
                collide_every: int = 1, substep_unroll: int = 1,
                solver_unroll: int = 1, contact_select: Optional[str] = None,
                mass_inverse: str = 'chol', rolling: str | bool = 'auto',
+               start_sphere_r: float = 0.03,
                renderer_kwargs: Optional[dict] = None):
     import os
     if not (rolling == 'auto' or isinstance(rolling, bool)):
@@ -224,6 +225,7 @@ class GeecoEnv:
     self.renderer = build_renderer(self.model, self.assets, width=w,
                                    height=h, **(renderer_kwargs or {}))
     self.n_substeps = n_substeps
+    self.start_sphere_r = start_sphere_r
     self.settle_steps = settle_steps
     self.solver_iterations = solver_iterations
     m = self.model
@@ -386,8 +388,11 @@ class GeecoEnv:
       newq = jnp.concatenate([xy, jnp.array([self.spawn_z]),
                               jnp.array([1.0, 0, 0, 0])])
       qpos = set_joint_qpos(self.model, qpos, jname, newq)
+    # reference samples the EE start within r=0.03 (dataset-create_tasks
+    # notebook); start_sphere_r>0.03 is the TPU-side perturbation-augmented
+    # collection knob (DAgger-lite start-basin coverage)
     mocap_pos = jnp.asarray(self.robot_xpos0) + \
-        spawn.sample_point_within_sphere(r_sphere, 0.03)
+        spawn.sample_point_within_sphere(r_sphere, self.start_sphere_r)
     phys = phys.replace(
         qpos=qpos, qvel=jnp.zeros_like(phys.qvel),
         mocap_pos=mocap_pos[None], mocap_quat=jnp.asarray(EE_QUAT)[None])
@@ -424,8 +429,20 @@ class GeecoEnv:
   # ------------------------------------------------------------- step
 
   def step(self, es: EnvState, action: jax.Array) -> EnvState:
-    """Apply [dx, dy, dz, cmd_grp] and run n_substeps of physics."""
+    """Apply [dx, dy, dz, cmd_grp] and run n_substeps of physics.
+
+    The action is clipped to the [-1, 1] action space at EXECUTION time
+    (gym 0.18 robotics RobotEnv.step clips before _set_action; the
+    reference expert's P-gain MULT_POS_ACTION=6.0 relies on this
+    saturation for bang-bang transport at max 0.05 m/step).  Recording
+    still captures the RAW command (pickplace.py:326-340 records before
+    super().step), so cmd labels keep reference semantics.  Without this
+    clip the mocap jumped up to 0.33 m/step during the expert MOVE phase
+    — the round-3 expert failures (7.2%: flings, drops in transit,
+    placements just outside the 0.05 m radius) were all this bug.
+    """
     m = self.model
+    action = jnp.clip(action, -1.0, 1.0)
     pos_ctrl = action[:3] * 0.05
     cmd_grp = jnp.rint(action[3]).astype(jnp.int32)
     gripper_ctrl = jnp.where(

@@ -61,6 +61,17 @@ E2E_VMC_DEFAULT_PARAM_DICT: Dict[str, Any] = {
     #     large-action approach windows; this re-focuses the command losses
     #     on them without changing the loss scale.
     'loss_weighting': 'none',
+    # start-window boost: multiply the command-loss weight of the first
+    # `start_boost_windows` windows of every episode (the K-1 first-frame-
+    # padded windows + the early near-static ones) by `start_boost`, then
+    # renormalize to masked mean 1.  Round-3 post-mortem: the policy was
+    # near-perfect on moving windows (open-loop cosine ~0.99) but predicted
+    # the WRONG DIRECTION on the fully-padded first window — closed-loop it
+    # never escaped the static start basin (obj_vicinity 8.97%, success 0%).
+    # Start windows are <12% of an episode but 100% of the escape problem;
+    # uniform (or cmd_mag) weighting cannot make them dominate.
+    'start_boost': 1.0,
+    'start_boost_windows': 13,     # K-1 padded + first ~10 real windows
 }
 
 
@@ -90,6 +101,8 @@ class E2EVMCConfig:
   train_carry: str = 'stateless'
   encoder_norm: str = 'group'
   loss_weighting: str = 'none'
+  start_boost: float = 1.0
+  start_boost_windows: int = 13
 
   def asdict(self) -> Dict[str, Any]:
     return dataclasses.asdict(self)

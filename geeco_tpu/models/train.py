@@ -349,18 +349,39 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
     ~30 large-action approach windows an expert episode has against its
     ~70 near-idle tail windows without changing the loss scale.
     """
-    if config.loss_weighting == 'none':
+    boost = config.start_boost
+    if config.loss_weighting == 'none' and boost == 1.0:
       return None
-    if config.loss_weighting != 'cmd_mag':
+    if config.loss_weighting not in ('none', 'cmd_mag'):
       raise ValueError(f'unknown loss_weighting {config.loss_weighting!r}')
-    cmd = pad(jnp.swapaxes(batch['cmd'], 0, 1))          # [N_pad, B, 4]
-    mag = (jnp.linalg.norm(cmd[..., :3], axis=-1) +
-           jnp.abs(cmd[..., 3]))                          # [N_pad, B]
-    m = mask.astype(mag.dtype)[:, None]
-    mean = jnp.sum(mag * m) / jnp.maximum(jnp.sum(m), 1.0)
-    w = jnp.clip(mag / jnp.maximum(mean, 1e-8), 0.25, 4.0)
-    w = w / (jnp.sum(w * m) / jnp.maximum(jnp.sum(m), 1.0))
-    return w
+
+    def wmean(a, m):
+      # masked PER-ELEMENT mean (broadcasting-correct: the round-3 code
+      # summed a over [N, B] but counted only sum(mask)=N_m, inflating the
+      # mean by B -> every weight hit the 0.25 clip floor and, after the
+      # equally-miscounted renormalization, scaled the command losses down
+      # by 1/B relative to the aux losses)
+      a_b, m_b = jnp.broadcast_arrays(a, m)
+      return jnp.sum(a_b * m_b) / jnp.maximum(jnp.sum(m_b), 1.0)
+
+    m = mask.astype(jnp.float32)[:, None]
+    if config.loss_weighting == 'cmd_mag':
+      cmd = pad(jnp.swapaxes(batch['cmd'], 0, 1))        # [N_pad, B, 4]
+      mag = (jnp.linalg.norm(cmd[..., :3], axis=-1) +
+             jnp.abs(cmd[..., 3]))                        # [N_pad, B]
+      w = jnp.clip(mag / jnp.maximum(wmean(mag, m), 1e-8), 0.25, 4.0)
+    else:
+      w = jnp.ones(mask.shape + (1,))
+    if boost != 1.0:
+      # multiply the first start_boost_windows windows of the episode (the
+      # K-1 padded starts + early near-static ones — the closed-loop escape
+      # set, see params.py start_boost) by the boost factor
+      idx = jnp.arange(mask.shape[0])[:, None]           # [N_pad, 1]
+      w = w * jnp.where(idx < config.start_boost_windows, boost, 1.0)
+    # [N_pad, B] (cmd_mag) or [N_pad, 1] (uniform+boost); _masked_mean
+    # broadcasts either against [N_pad, B, ...] losses.  Renormalized to
+    # masked per-element mean 1 so the weighted losses keep the loss scale.
+    return w / jnp.maximum(wmean(w, m), 1e-8)
 
   def _loss_all(ep, batch):
     """Per-part masked losses over [N_pad, B, ...] predictions."""
@@ -405,6 +426,20 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
     # collapse canary: a healthy policy's commands vary across windows;
     # batch-std ~0 on every head = dead constant predictor
     parts['canary_std'] = jnp.std(ep['pred_cmd_ee'])
+    # start-basin diagnostics: cmd_ee quality restricted to the first
+    # start_boost_windows windows (padded starts + early near-static) —
+    # the windows closed-loop escape depends on.  cos>0 on the padded
+    # first window is the necessary condition for leaving the start state.
+    cmd_ee = (pad(lbl('cmd'))[..., :3] if config.control_mode == 'cartesian'
+              else pad(lbl('ee_target'))[..., :3])
+    start = (jnp.arange(mask.shape[0]) <
+             config.start_boost_windows) & mask          # [N_pad]
+    parts['mse_cmd_ee_start'] = _masked_mean(
+        jnp.square(ep['pred_cmd_ee'] - cmd_ee), start)
+    dot = jnp.sum(ep['pred_cmd_ee'] * cmd_ee, axis=-1)
+    denom = (jnp.linalg.norm(ep['pred_cmd_ee'], axis=-1) *
+             jnp.linalg.norm(cmd_ee, axis=-1) + 1e-8)
+    parts['cos_cmd_ee_start'] = _masked_mean(dot / denom, start)
     return loss, parts
 
   def _forward_loss(params, batch):

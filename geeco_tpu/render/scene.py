@@ -228,7 +228,10 @@ def build_render_scene(model: Model, assets: Assets,
                        mesh_face_budget: int = _MESH_FACE_BUDGET,
                        skip_alpha_below: float = 0.01,
                        tex_grid: int = _TEX_GRID,
-                       analytic_rects: bool = True) -> RenderScene:
+                       analytic_rects: bool = False) -> RenderScene:
+  # analytic_rects default matches build_renderer (False): the analytic
+  # background layer is opt-in until the shared-occlusion-pass redesign
+  # lands (41 ms/frame vs 0.55 ms tessellated on TPU; ADVICE.md round 3)
   all_v, all_vg, all_f, all_fg = [], [], [], []
   all_slot, all_texel = [], []
   tex_default, tex_slot_geom = [], []

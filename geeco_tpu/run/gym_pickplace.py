@@ -65,6 +65,15 @@ ARGPARSER.add_argument('--dataset_formats', type=str, default='all',
                        choices=['all', 'npz'],
                        help='npz = fast uncompressed training collect '
                             '(skips pkl/tfrecord sidecars and depth)')
+ARGPARSER.add_argument('--start_sphere', type=float, default=0.03,
+                       help='EE-start sampling sphere radius (reference '
+                            'r=0.03); larger = perturbation-augmented '
+                            'start-basin coverage for collection')
+ARGPARSER.add_argument('--perturb_prefix', type=int, default=0,
+                       help='collect mode: up to N random pre-roll steps '
+                            'per episode before the expert takes over '
+                            '(recorded episode starts AFTER the pre-roll; '
+                            'DAgger-lite start diversity)')
 ARGPARSER.add_argument('--debug', default=False, action='store_true')
 
 if __name__ == '__main__':

@@ -50,6 +50,7 @@ def build_env(args) -> GeecoEnv:
   if tg is not None and tg >= 0:
     rk['tex_grid'] = tg
   return GeecoEnv(shapes=args.shapes, frame_res=tuple(args.frame_res),
+                  start_sphere_r=getattr(args, 'start_sphere', 0.03),
                   renderer_kwargs=rk)
 
 
@@ -156,6 +157,29 @@ def run_collect(args):
         lambda e: rollout(env, e, expert, length=episode_steps,
                           record_fn=record_fn, step_textures=tex_steps))(es)
 
+  # perturbation-augmented starts: k random pre-roll steps per env (k ~
+  # U[0, P]) before the expert episode begins.  Inactive steps apply the
+  # no-op action so the whole batch stays lockstep under one compile.
+  P = max(0, getattr(args, 'perturb_prefix', 0))
+
+  @jax.jit
+  def preroll(es, rngs):
+    def one(e, r):
+      rk, ra = jax.random.split(r)
+      k = jax.random.randint(rk, (), 0, P + 1)
+      acts = jax.random.uniform(ra, (P, 3), minval=-1.0, maxval=1.0)
+
+      def body(e, ta):
+        t, a = ta
+        act = jnp.where(t < k, jnp.concatenate([a, jnp.zeros(1)]),
+                        jnp.zeros(4))
+        return env.step(e, act), None
+      e, _ = jax.lax.scan(body, e, (jnp.arange(P), acts))
+      # the recorded episode starts here: reset the step counter so frame
+      # 0 of the demo is the post-perturbation state
+      return e.replace(ts=jnp.zeros((), jnp.int32))
+    return jax.vmap(one)(es, rngs)
+
   eval_batch = jax.jit(jax.vmap(env.eval_metrics))
 
   video = VideoRecorder('collect', wrk_dir) \
@@ -169,7 +193,10 @@ def run_collect(args):
   successes = []
   n_specs = int(jax.tree.leaves(specs)[0].shape[0]) if specs is not None \
       else 0
-  for chunk in range(args.start_idx, args.end_idx, B):
+
+  def launch(chunk):
+    """Enqueue one chunk's episodes on device (async dispatch)."""
+    nonlocal rng
     n = min(B, args.end_idx - chunk)
     rng, sub = jax.random.split(rng)
     rngs = jax.random.split(sub, B)
@@ -179,59 +206,81 @@ def run_collect(args):
       es = reset_to_batch(spec_chunk, rngs)
     else:
       es = reset_random_batch(rngs)
+    if P > 0:
+      rng, sub2 = jax.random.split(rng)
+      es = preroll(es, jax.random.split(sub2, B))
     es = _shard(es, mesh)
-    if args.dry_run:  # save initial configuration images only
-      rgb, _ = jax.jit(jax.vmap(env.render))(es)
-      from PIL import Image
-      for k in range(n):
-        Image.fromarray(np.asarray(rgb[k])).save(
-            os.path.join(wrk_dir, f'init_{chunk + k + 1:04d}.png'))
-      continue
+    if args.dry_run:
+      return dict(chunk=chunk, n=n, es=es)
     if cycler is not None:
       tex_steps = jnp.asarray(cycler.texel_steps(
           episode_steps, env.renderer.scene.tex_res))
       es_f, recs = run_episodes(es, tex_steps)
     else:
       es_f, recs = run_episodes(es)
-    recs = jax.device_get(recs)
-    metrics = jax.device_get(eval_batch(es_f))
+    return dict(chunk=chunk, n=n, es=es, recs=recs,
+                metrics=eval_batch(es_f))
 
-    def write_episode(episode_id, rec_k, ctx):
-      name = f'replay_buffer_{episode_id:04d}'
-      save_episode_npz(os.path.join(wrk_dir, 'data', f'{name}.npz'),
-                       rec_k, ctx, compress=not fast)
-      if fast:  # npz-only fast path for large training collections
-        return
-      save_replay_buffer_pkl(os.path.join(wrk_dir, f'{name}.pkl'), env,
-                             rec_k, ctx)
-      if with_frames:  # reference-format zlib TFRecord (native encoder)
-        write_episode_tfrecord(
-            os.path.join(wrk_dir, 'data', f'{name}.tfrecord.zlib'), rec_k,
-            ctx)
+  def write_episode(episode_id, rec_k, ctx):
+    name = f'replay_buffer_{episode_id:04d}'
+    save_episode_npz(os.path.join(wrk_dir, 'data', f'{name}.npz'),
+                     rec_k, ctx, compress=not fast)
+    if fast:  # npz-only fast path for large training collections
+      return
+    save_replay_buffer_pkl(os.path.join(wrk_dir, f'{name}.pkl'), env,
+                           rec_k, ctx)
+    if with_frames:  # reference-format zlib TFRecord (native encoder)
+      write_episode_tfrecord(
+          os.path.join(wrk_dir, 'data', f'{name}.tfrecord.zlib'), rec_k,
+          ctx)
 
-    # overlap episode IO (zlib-heavy) with the next chunk's device work
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=2) as pool:
-      futures = []
+  def drain(job, pool):
+    """Pull one finished chunk to host and write it out."""
+    chunk, n = job['chunk'], job['n']
+    if args.dry_run:  # save initial configuration images only
+      rgb, _ = jax.jit(jax.vmap(env.render))(job['es'])
+      from PIL import Image
       for k in range(n):
-        episode_id = chunk + k + 1
-        rec_k = jax.tree.map(lambda x: x[k], recs)
-        es_k = jax.tree.map(lambda x: x[k], es)
-        ctx = _episode_context(env, es_k)
-        futures.append(pool.submit(write_episode, episode_id, rec_k, ctx))
-        if video is not None and 'rgb' in rec_k:
-          for frame in rec_k['rgb']:
-            video.feed(frame)
-          video.flush()
-        if viewer is not None and k == 0 and 'rgb' in rec_k:
-          for t, frame in enumerate(rec_k['rgb']):
-            viewer.feed(frame, hud=f'episode {episode_id} t={t}')
-        success = float(metrics['task_success'][k])
-        successes.append(success)
-        print(f'episode {episode_id}: task_success={success:.0f} '
-              f'goal_dist={float(metrics["goal_dist"][k]):.4f}')
-      for fu in futures:
-        fu.result()  # surface writer errors
+        Image.fromarray(np.asarray(rgb[k])).save(
+            os.path.join(wrk_dir, f'init_{chunk + k + 1:04d}.png'))
+      return
+    recs = jax.device_get(job['recs'])
+    metrics = jax.device_get(job['metrics'])
+    futures = []
+    for k in range(n):
+      episode_id = chunk + k + 1
+      rec_k = jax.tree.map(lambda x: x[k], recs)
+      es_k = jax.tree.map(lambda x: x[k], job['es'])
+      ctx = _episode_context(env, es_k)
+      futures.append(pool.submit(write_episode, episode_id, rec_k, ctx))
+      if video is not None and 'rgb' in rec_k:
+        for frame in rec_k['rgb']:
+          video.feed(frame)
+        video.flush()
+      if viewer is not None and k == 0 and 'rgb' in rec_k:
+        for t, frame in enumerate(rec_k['rgb']):
+          viewer.feed(frame, hud=f'episode {episode_id} t={t}')
+      success = float(metrics['task_success'][k])
+      successes.append(success)
+      print(f'episode {episode_id}: task_success={success:.0f} '
+            f'goal_dist={float(metrics["goal_dist"][k]):.4f}')
+    for fu in futures:
+      fu.result()  # surface writer errors
+
+  # double-buffered pipeline: the device computes chunk k+1 while chunk
+  # k's ~2 GB of frames cross the (measured ~39 MB/s) host link and the
+  # npz writers stream to disk — transfer/IO hide behind compute instead
+  # of serializing with it (round-3 collection was 3.5 h for 74 GB).
+  from concurrent.futures import ThreadPoolExecutor
+  with ThreadPoolExecutor(max_workers=4) as pool:
+    pending = None
+    for chunk in range(args.start_idx, args.end_idx, B):
+      job = launch(chunk)
+      if pending is not None:
+        drain(pending, pool)
+      pending = job
+    if pending is not None:
+      drain(pending, pool)
   if video is not None:
     video.finalize()
   if viewer is not None:

@@ -61,6 +61,12 @@ ARGPARSER.add_argument('--loss_weighting', type=str, default='none',
                        help='episode-mode command-loss window weighting '
                             '(cmd_mag re-focuses on large-action approach '
                             'windows; see models/params.py)')
+ARGPARSER.add_argument('--start_boost', type=float, default=1.0,
+                       help='multiply the command-loss weight of the first '
+                            '--start_boost_windows windows of every episode '
+                            '(closed-loop start-basin escape; '
+                            'models/params.py start_boost)')
+ARGPARSER.add_argument('--start_boost_windows', type=int, default=13)
 ARGPARSER.add_argument('--aug_shift', type=int, default=0,
                        help='train-time random per-episode image '
                             'translation in pixels (episode mode only)')
@@ -107,6 +113,8 @@ def main(args):
         'lr': args.lr,
         'lambda_aux': args.lambda_aux,
         'loss_weighting': args.loss_weighting,
+        'start_boost': args.start_boost,
+        'start_boost_windows': args.start_boost_windows,
     })
     save_model_config(config, config_path)
     print(f'>>> Saved model config to {config_path}')

@@ -33,8 +33,10 @@ while :; do
     nlines=0
     [ -f "$ART/metrics.jsonl" ] && nlines=$(wc -l < "$ART/metrics.jsonl")
     git add "$ART"
-    git commit -q -m "r3 evidence sync: $(date -u +%H:%M) $nlines metric lines" \
-      || true
+    # path-scoped commit: never sweep up unrelated staged changes
+    # (ADVICE.md round 3)
+    git commit -q -m "evidence sync: $(date -u +%H:%M) $nlines metric lines" \
+      -- "$ART" || true
   fi
   sleep 600
 done

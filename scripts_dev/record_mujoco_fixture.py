@@ -105,8 +105,12 @@ class MjEnv:
     self.forward()
 
   def step(self, action):
-    """Reference _set_action + n_substeps (pickplace.py:326-376)."""
-    action = np.asarray(action, np.float64)
+    """Reference _set_action + n_substeps (pickplace.py:326-376).
+
+    Clip at execution: gym 0.18 robotics RobotEnv.step clips the action
+    to [-1, 1] before _set_action; recorded cmds stay raw (the caller
+    appends the unclipped action to cmds first)."""
+    action = np.clip(np.asarray(action, np.float64), -1.0, 1.0)
     pos_ctrl = action[:3] * 0.05
     cmd_grp = int(np.rint(action[3]))
     g = GRIPPER_CTRL[-1 if cmd_grp < 0 else (1 if cmd_grp > 0 else 0)]
