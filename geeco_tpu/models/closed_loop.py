@@ -105,7 +105,7 @@ def make_closed_loop(env: GeecoEnv, config: E2EVMCConfig,
     action, ps = policy_step(params, ps, obs, jnt, tgt_frame)
     es = env.step(es, action)
     m = env.eval_metrics(es)
-    return es, ps, m
+    return es, ps, m, rgb
 
   return step_fn
 
@@ -148,12 +148,18 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
                      n_steps: int = 200, es0=None,
                      step_textures=None,
                      carry_mode: Optional[str] = None,
-                     mesh=None) -> Dict[str, jax.Array]:
+                     mesh=None, collect_frames: int = 0):
   """Reset + closed-loop rollout for a batch of envs; returns metrics.
 
   One batched policy+env step is jit-compiled and iterated from the host
   (device-resident state; only the final metrics come back) — compiling the
   whole episode as a single scan makes the XLA graph too large.
+
+  collect_frames=V > 0 additionally pulls the first V envs' observation
+  frames to the host every step (~V*0.2 MB/step) and returns
+  (metrics, frames [n_steps, V, H, W, 3] uint8) for eval videos — the
+  reference controller loop records per-episode videos and logs the path
+  in the eval CSV (gym_pickplace.py:941-945, 705-720).
   """
   env.setup()
   step_fn = make_closed_loop(env, config, goal_conditioned, carry_mode)
@@ -179,9 +185,13 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
       'min_goal_dist': jnp.full(B, 1e3), 'max_goal_dist': jnp.zeros(B),
       'final_goal_dist': jnp.zeros(B), 'task_success': jnp.zeros(B),
   }
+  frames = [] if collect_frames > 0 else None
   for t in range(n_steps):
     tex = step_textures[t] if step_textures is not None else None
-    es, ps, m = batched(params, es, ps, tgt_frames, tex)
+    es, ps, m, rgb = batched(params, es, ps, tgt_frames, tex)
+    if frames is not None:
+      import numpy as np
+      frames.append(np.asarray(jax.device_get(rgb[:collect_frames])))
     agg['obj_vicinity'] = jnp.maximum(agg['obj_vicinity'],
                                       m['obj_vicinity'])
     agg['grasp_success'] = jnp.maximum(agg['grasp_success'],
@@ -190,4 +200,7 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
     agg['max_goal_dist'] = jnp.maximum(agg['max_goal_dist'], m['goal_dist'])
     agg['final_goal_dist'] = m['goal_dist']
     agg['task_success'] = m['task_success']
+  if frames is not None:
+    import numpy as np
+    return agg, np.stack(frames)
   return agg

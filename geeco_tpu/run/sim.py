@@ -457,8 +457,13 @@ def run_controller_batched(args):
       cycler = None
   rng = jax.random.PRNGKey(args.seed)
   rows = []
+  # --rendering_mode video: per-episode eval videos for the first chunk's
+  # first envs, with real paths in the eval CSV (reference protocol:
+  # gym_pickplace.py:941-945, 705-720)
+  n_video = 8 if args.rendering_mode == 'video' else 0
   for chunk in range(0, n_eps, B):
     n = min(B, n_eps - chunk)
+    V = min(n_video, n) if chunk == 0 else 0
     rng, sub = jax.random.split(rng)
     rngs = jax.random.split(sub, B)
     episode_steps = (args.max_episode_steps if args.max_episode_steps > 0
@@ -486,15 +491,27 @@ def run_controller_batched(args):
                              tgt_frames=tgt, n_steps=episode_steps,
                              es0=es0, step_textures=step_textures,
                              carry_mode=getattr(args, 'carry_mode',
-                                                'auto'), mesh=mesh)
+                                                'auto'), mesh=mesh,
+                             collect_frames=V)
     else:
       agg = evaluate_batched(env, config, params, goal_conditioned, rngs,
                              n_steps=episode_steps,
                              step_textures=step_textures,
                              carry_mode=getattr(args, 'carry_mode',
-                                                'auto'), mesh=mesh)
+                                                'auto'), mesh=mesh,
+                             collect_frames=V)
+    frames = None
+    if V:
+      agg, frames = agg  # [T, V, H, W, 3] uint8
     agg = {k: np.asarray(v) for k, v in agg.items()}
     for k in range(n):
+      video_file = ''
+      if frames is not None and k < V:
+        episode_id = args.start_idx + chunk + k + 1
+        vid = VideoRecorder(f'observation_{episode_id:04d}', wrk_dir)
+        for frame in frames[:, k]:
+          vid.feed(frame)
+        video_file = vid.finalize() or ''
       rows.append({
           'episode_id': args.start_idx + chunk + k + 1,
           'obj_vicinity': int(agg['obj_vicinity'][k]),
@@ -504,7 +521,7 @@ def run_controller_batched(args):
           'min_goal_dist': float(agg['min_goal_dist'][k]),
           'max_goal_dist': float(agg['max_goal_dist'][k]),
           'final_goal_dist': float(agg['final_goal_dist'][k]),
-          'video_file': '',
+          'video_file': video_file,
       })
   with open(os.path.join(wrk_dir, 'eval_results.csv'), 'w',
             newline='') as fp:

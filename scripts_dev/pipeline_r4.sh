@@ -127,7 +127,8 @@ mkdir -p "$EVAL"
 python -u -m geeco_tpu.run.gym_pickplace --sim_mode controller \
     --model_dir "$MODEL" --goal_condition target \
     --dataset_dir "$DS" --split_name default \
-    --wrk_dir "$EVAL" --num_envs 43 --end_idx 129 --seed 7
+    --wrk_dir "$EVAL" --num_envs 43 --end_idx 129 --seed 7 \
+    --rendering_mode video
 echo "=== [pipeline] eval done"
 cat "$EVAL"/*/final_results.txt 2>/dev/null || true
 

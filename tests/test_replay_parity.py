@@ -28,8 +28,9 @@ FIXTURES = ('mujoco_pickplace_pad2cube2.npz',
             'mujoco_pushing_pushpad2cube2.npz',
             pytest.param('mujoco_pickplace_pad2cube2clutter4.npz',
                          marks=pytest.mark.slow),
-            pytest.param('mujoco_pickplace_nutcone.npz',
-                         marks=pytest.mark.slow),
+            # one MESH gate stays in the fast suite (round-3 verdict ask
+            # 8: the pre-commit gate must cover hull narrowphase)
+            'mujoco_pickplace_nutcone.npz',
             pytest.param('mujoco_pickplace_ballcup.npz',
                          marks=pytest.mark.slow))
 
