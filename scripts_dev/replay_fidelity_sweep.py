@@ -25,8 +25,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 from geeco_tpu.envs.base import ResetSpec, make_env
 
+# FIXTURE=mujoco_pickplace_nutcone.npz (etc.) selects another committed
+# fixture; the scene name is read from the fixture itself.
 FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)), '..',
-                       'tests', 'fixtures', 'mujoco_pickplace_pad2cube2.npz')
+                       'tests', 'fixtures',
+                       os.environ.get('FIXTURE',
+                                      'mujoco_pickplace_pad2cube2.npz'))
 
 # (method, iterations, select_k) — baseline first (drift reference).
 # cg/bb were measured unstable under projection (solver_convergence.py run
@@ -53,7 +57,7 @@ CONFIGS = [c if len(c) == 4 else c + (1,) for c in CONFIGS]
 
 
 def run_config(fx, method, iters, sel_k, ce=1):
-  env = make_env('pad2-cube2', frame_res=(64, 64), solver_method=method,
+  env = make_env(str(fx['shapes']), frame_res=(64, 64), solver_method=method,
                  solver_iterations=iters, contact_select_k=sel_k,
                  collide_every=ce)
   env.setup()
