@@ -272,6 +272,12 @@ def episode_pipeline(dataset_dir: str, split_name: str, mode: str,
                                     pad_start)
     if aug_shift > 0 and 'frames' in batch:
       _augment_shift(batch, aug_shift, rng)
+    elif aug_shift > 0 and 'qpos' in batch:
+      # state-only batches: the shift is applied on device after the
+      # re-render (models/train.py _materialize_frames); ship offsets only
+      batch['aug_shift'] = rng.randint(
+          -aug_shift, aug_shift + 1,
+          size=(batch['qpos'].shape[0], 2)).astype(np.int32)
     yield batch
     group = []
   # remainder dropped (fixed-shape batches keep the step jit-compiled once)
@@ -338,6 +344,16 @@ def _assemble_episode_batch(group, K: int, fetch_target: bool,
       if with_depth:
         td = np.stack([np.asarray(g[2][-1], np.float32) for g in group])
         batch['target_depth'] = td[..., None] if td.ndim == 3 else td
+  elif group[0][3] is not None:
+    # state-only episodes: ship ~tiny state trajectories; the train step
+    # re-renders the frames (and the last-frame target) on device
+    rs = [g[3] for g in group]
+    batch['qpos'] = np.stack([r['qpos'][:T] for r in rs])
+    batch['mocap'] = np.stack([r['mocap'][:T] for r in rs])
+    batch['rgba'] = np.stack([r['rgba'] for r in rs])
+    if fetch_target:
+      batch['tgt_qpos'] = np.stack([r['qpos'][-1] for r in rs])
+      batch['tgt_mocap'] = np.stack([r['mocap'][-1] for r in rs])
   return batch
 
 
@@ -345,14 +361,25 @@ def _assemble_episode_batch(group, K: int, fetch_target: bool,
 
 
 def _lazy_episode(path: str, fetch_target: bool):
-  """Load an episode keeping rgb as uint8; precompute the small vectors."""
+  """Load an episode keeping rgb as uint8; precompute the small vectors.
+
+  State-only episodes (collect --dataset_formats states) carry no frames;
+  their full qpos/mocap trajectory + recolor table come back as the 4th
+  element so the train step can re-render on device
+  (models/train.py _materialize_frames)."""
   ep, _ = load_episode(path)
   rgb_u8 = ep.get('rgb')
   depth = ep.get('depth')
+  rstate = None
+  if rgb_u8 is None and 'full_qpos' in ep:
+    rstate = {'qpos': np.asarray(ep['full_qpos'], np.float32),
+              'mocap': np.asarray(ep['mocap_qpos-robot0:mocap'],
+                                  np.float32),
+              'rgba': np.asarray(ep['rgba'], np.float32)}
   small = preprocess_states({k: v for k, v in ep.items()
                              if k not in ('rgb', 'depth')})
   small = preprocess_targets(small)
-  return small, rgb_u8, depth
+  return small, rgb_u8, depth, rstate
 
 
 def _gather_frames(rgb_u8, depth, idx):
@@ -427,7 +454,7 @@ def input_pipeline(dataset_dir: str, split_name: str, mode: str,
     episodes = load_iter()
 
   K = window_size
-  for small, rgb_u8, depth in episodes:
+  for small, rgb_u8, depth, _rstate in episodes:
     T = small['step'].shape[0]  # already droplast (T = episode_length - 1)
     widx = window_indices(T, K, pad_start=pad_start)
     n_win = widx.shape[0]

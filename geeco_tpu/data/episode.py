@@ -40,6 +40,7 @@ def meta_info_dict(env: GeecoEnv) -> Dict:
       'episode_length': 100,
       'img_height': h,
       'img_width': w,
+      'shapes': env.shapes,
       'monitored_joints': list(env.monitored_joints),
       'actuated_joints': list(env.actuated_joints),
       'monitored_mocaps': ['robot0:mocap'],
@@ -50,8 +51,15 @@ def meta_info_dict(env: GeecoEnv) -> Dict:
 
 
 def make_record_fn(env: GeecoEnv, with_frames: bool = True,
-                   with_depth: bool = True):
-  """Per-step record function for expert.rollout(record_fn=...)."""
+                   with_depth: bool = True, with_state: bool = False):
+  """Per-step record function for expert.rollout(record_fn=...).
+
+  with_state records the full ``qpos`` vector per step: together with the
+  recorded mocap pose and the per-episode recolor table this is enough to
+  re-render the exact frame later (envs/base.py render_from_qpos), so a
+  state-only dataset (~40 KB/episode vs ~20 MB with frames) trains with
+  on-device re-rendering instead of shipping pixels over the host link.
+  """
 
   m = env.model
 
@@ -63,6 +71,8 @@ def make_record_fn(env: GeecoEnv, with_frames: bool = True,
         'cmd': jnp.asarray(action, jnp.float32),
         'ctrl': es.phys.ctrl,
     }
+    if with_state:
+      rec['full_qpos'] = es.phys.qpos
     if with_frames:
       tex = env.background_textures(textures) if textures is not None \
           else None

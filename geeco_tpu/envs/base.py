@@ -587,6 +587,25 @@ class GeecoEnv:
     kin = self.kin(es)
     return self.renderer.render(kin, es.rgba, textures)
 
+  def render_from_qpos(self, qpos: jax.Array, mocap_qpos: jax.Array,
+                       rgba: jax.Array,
+                       textures: Optional[jax.Array] = None
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Re-render a recorded frame from its stored state.
+
+    State-only datasets (collect --dataset_formats states) store the full
+    `qpos` + mocap pose per step and the per-episode recolor table instead
+    of frames; FK needs nothing else (physics/kinematics.py fk reads only
+    qpos and mocap_pos/quat), so training can re-synthesize the exact
+    pixels on device instead of shipping them over the host link.
+    Call env.setup() once before jit-tracing this.
+    """
+    st = self.setup()  # template for qvel/ctrl field shapes
+    phys = st.replace(qpos=qpos,
+                      mocap_pos=mocap_qpos[None, :3],
+                      mocap_quat=mocap_qpos[None, 3:])
+    return self.renderer.render(self.stepper.fk(phys), rgba, textures)
+
 
 def make_env(shapes: str = 'pad2-cube2', **kwargs) -> GeecoEnv:
   return GeecoEnv(shapes=shapes, **kwargs)

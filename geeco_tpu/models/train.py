@@ -224,7 +224,8 @@ def make_train_fns(config: E2EVMCConfig, goal_conditioned: bool):
 
 
 def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
-                           chunk_windows: int = 8):
+                           chunk_windows: int = 8, render_fn=None,
+                           aug_pad: int = 0, render_chunk: int = 100):
   """Train/eval steps over whole-episode batches (the TPU-native path).
 
   The reference pipeline batches 32 CONSECUTIVE windows of one episode
@@ -258,6 +259,75 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
   model = make_model(config, goal_conditioned)
   tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(config.lr))
   C = chunk_windows
+
+  def _shift_frames(img, dy, dx, s):
+    """Edge-padded translation of [..., H, W, C] by (dy, dx) in [-s, s] —
+    the on-device counterpart of data/dataset.py _shift2d."""
+    H, W = img.shape[-3:-1]
+    pad = [(0, 0)] * (img.ndim - 3) + [(s, s), (s, s), (0, 0)]
+    p = jnp.pad(img, pad, mode='edge')
+    start = [0] * (img.ndim - 3) + [s + dy, s + dx, 0]
+    return jax.lax.dynamic_slice(p, [jnp.asarray(i) for i in start],
+                                 img.shape)
+
+  def _materialize_frames(batch: Dict) -> Dict:
+    """State-only batches -> frame batches, fully on device.
+
+    Input keys (data/dataset.py state-only episode batches):
+      qpos [B, T, nq], mocap [B, T, 7], rgba [B, ngeom, 4],
+      tgt_qpos/tgt_mocap [B, ...] (goal-conditioned),
+      aug_shift [B, 2] (optional per-episode pixel translation).
+    The recorded trajectory is re-rendered with the SAME renderer that
+    produced (or would produce) the frame-mode dataset, so the pixels are
+    identical to a frames-on-disk collect — but only ~100 floats/step
+    cross the host link instead of 196 KB/step.
+    """
+    if 'qpos' not in batch:
+      return batch
+    assert render_fn is not None, (
+        'state-only dataset batches need make_episode_train_fns('
+        'render_fn=env.render_from_qpos)')
+    b = dict(batch)
+    qpos = b.pop('qpos')
+    mocap = b.pop('mocap')
+    rgba = b.pop('rgba')
+    B, T = qpos.shape[:2]
+    n = B * T
+    flat_q = qpos.reshape(n, -1)
+    flat_m = mocap.reshape(n, -1)
+    flat_r = jnp.repeat(rgba, T, axis=0)
+    CH = render_chunk
+    n_pad = (-n) % CH
+    if n_pad:
+      flat_q = jnp.concatenate([flat_q, flat_q[-n_pad:]])
+      flat_m = jnp.concatenate([flat_m, flat_m[-n_pad:]])
+      flat_r = jnp.concatenate([flat_r, flat_r[-n_pad:]])
+
+    def rchunk(args):
+      rgb, _ = jax.vmap(render_fn)(*args)
+      return rgb
+
+    frames = jax.lax.map(rchunk, (flat_q.reshape(-1, CH, flat_q.shape[-1]),
+                                  flat_m.reshape(-1, CH, flat_m.shape[-1]),
+                                  flat_r.reshape((-1, CH) + rgba.shape[1:])))
+    frames = frames.reshape((-1,) + frames.shape[2:])[:n]
+    frames = frames.reshape((B, T) + frames.shape[1:])
+    tgt = None
+    if 'tgt_qpos' in b:
+      tgt, _ = jax.vmap(render_fn)(b.pop('tgt_qpos'), b.pop('tgt_mocap'),
+                                   rgba)
+    if 'aug_shift' in b:
+      sh = b.pop('aug_shift')
+      s = max(aug_pad, 1)
+      frames = jax.vmap(lambda f, d: _shift_frames(f, d[0], d[1], s))(
+          frames, sh)
+      if tgt is not None:
+        tgt = jax.vmap(lambda f, d: _shift_frames(f, d[0], d[1], s))(
+            tgt, sh)
+    b['frames'] = frames
+    if tgt is not None:
+      b['target_rgb'] = tgt
+    return b
 
   def _frames_of(batch, idx):
     """Gather window frames [B, n, K, H, W, C] in [0,1] float."""
@@ -469,6 +539,7 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
                       step=jnp.zeros((), jnp.int32))
 
   def train_step(ts: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+    batch = _materialize_frames(batch)
     (loss, parts), grads = jax.value_and_grad(
         _forward_loss, has_aux=True)(ts.params, batch)
     updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
@@ -478,7 +549,7 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
                       step=ts.step + 1), metrics
 
   def eval_step(ts: TrainState, batch: Dict) -> Dict:
-    loss, parts = _forward_loss(ts.params, batch)
+    loss, parts = _forward_loss(ts.params, _materialize_frames(batch))
     return dict(parts, loss=loss)
 
   return init_fn, train_step, eval_step, tx

@@ -59,9 +59,12 @@ ARGPARSER.add_argument('--seed', type=int, default=0)
 ARGPARSER.add_argument('--split_name', type=str, default='default',
                        help='dataset split for controller-mode eval')
 ARGPARSER.add_argument('--dataset_formats', type=str, default='all',
-                       choices=['all', 'npz'],
+                       choices=['all', 'npz', 'states'],
                        help='npz = fast uncompressed training collect '
-                            '(skips pkl/tfrecord sidecars and depth)')
+                            '(skips pkl/tfrecord sidecars and depth); '
+                            'states = frameless collect storing full qpos '
+                            'per step (~40 KB/episode) — training '
+                            're-renders on device (data/episode.py)')
 ARGPARSER.add_argument('--debug', default=False, action='store_true')
 
 if __name__ == '__main__':

@@ -117,10 +117,13 @@ def run_collect(args):
   expert = make_expert(env)
   # viewer mode needs frames too (live playback of the recorded episode,
   # the TPU stand-in for the reference GLFW window: pickplace.py:590-591)
-  with_frames = args.rendering_mode in ('tfrecord', 'viewer')
-  fast = getattr(args, 'dataset_formats', 'all') == 'npz'
+  fmt = getattr(args, 'dataset_formats', 'all')
+  state_only = fmt == 'states'
+  with_frames = (not state_only
+                 and args.rendering_mode in ('tfrecord', 'viewer'))
+  fast = fmt in ('npz', 'states')
   record_fn = make_record_fn(env, with_frames=with_frames,
-                             with_depth=not fast)
+                             with_depth=not fast, with_state=state_only)
 
   # dataset meta (gym_pickplace.py:744-747); also placed under meta/ to
   # form a ready-to-train dataset directory (geeco_gym.py:283-289 layout)
@@ -252,6 +255,11 @@ def run_collect(args):
       rec_k = jax.tree.map(lambda x: x[k], recs)
       es_k = jax.tree.map(lambda x: x[k], job['es'])
       ctx = _episode_context(env, es_k)
+      if state_only:
+        # per-episode recolor table: with full_qpos + mocap this is the
+        # complete render input (envs/base.py render_from_qpos)
+        rec_k = dict(rec_k)
+        rec_k['rgba'] = np.asarray(es_k.rgba)
       futures.append(pool.submit(write_episode, episode_id, rec_k, ctx))
       if video is not None and 'rgb' in rec_k:
         for frame in rec_k['rgb']:
@@ -381,6 +389,7 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
   episode's target frame; here both come straight from collected npz
   episodes.
   """
+  import jax
   import jax.numpy as jnp
   from ..data.dataset import list_records
   from ..data.episode import load_episode
@@ -390,6 +399,7 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
     paths = paths[:n_eps]
   objq, mocapq, goals, objs, tgts, tgt_depths = [], [], [], [], [], []
   armq = []
+  render_states = []   # state-only episodes: goal frames re-rendered below
   for p in paths:
     ep, ctx = load_episode(p)
     oq = np.stack([np.asarray(ep[f'object_qpos-{j}'][0])
@@ -402,9 +412,28 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
                             for j in env.monitored_joints]))
     goals.append(env.goal_sites.index(ctx['task_goal']))
     objs.append(env.cube_sites.index(ctx['task_object']))
-    tgts.append(ep['rgb'][-1].astype(np.float32) / 255.0)
-    if 'depth' in ep:
-      tgt_depths.append(np.asarray(ep['depth'][-1], np.float32))
+    if 'rgb' in ep:
+      tgts.append(ep['rgb'][-1].astype(np.float32) / 255.0)
+      if 'depth' in ep:
+        tgt_depths.append(np.asarray(ep['depth'][-1], np.float32))
+    elif 'full_qpos' in ep:
+      render_states.append((np.asarray(ep['full_qpos'][-1], np.float32),
+                            np.asarray(ep['mocap_qpos-robot0:mocap'][-1],
+                                       np.float32),
+                            np.asarray(ep['rgba'], np.float32)))
+    else:
+      raise ValueError(f'{p}: episode has neither frames nor full_qpos')
+  if render_states:
+    # re-render the goal frames on device from the recorded final states
+    # (state-only datasets; exact pixels of the frame-mode recording)
+    env.setup()
+    rq = jnp.asarray(np.stack([r[0] for r in render_states]))
+    rm = jnp.asarray(np.stack([r[1] for r in render_states]))
+    rr = jnp.asarray(np.stack([r[2] for r in render_states]))
+    render_b = jax.jit(jax.vmap(env.render_from_qpos))
+    for s in range(0, rq.shape[0], 64):
+      rgb, _ = render_b(rq[s:s + 64], rm[s:s + 64], rr[s:s + 64])
+      tgts.extend(np.asarray(rgb).astype(np.float32) / 255.0)
   specs = ResetSpec(
       obj_qpos=jnp.asarray(np.stack(objq), jnp.float32),
       mocap_qpos=jnp.asarray(np.stack(mocapq), jnp.float32),

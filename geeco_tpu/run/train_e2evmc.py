@@ -121,10 +121,34 @@ def main(args):
 
   goal_conditioned = args.goal_condition == 'target'
   episode_mode = args.train_mode == 'episode'
+
+  # state-only datasets (collect --dataset_formats states) ship qpos
+  # trajectories instead of frames; the train step re-renders on device
+  # with the same renderer that frame-mode collection would have used
+  render_fn = None
+  from ..data.dataset import get_meta, list_records
+  from ..data.episode import load_episode
+  first = list_records(args.dataset_dir, args.split_name, 'train')[0]
+  ep0, _ = load_episode(first)
+  if 'rgb' not in ep0 and 'full_qpos' in ep0:
+    if not episode_mode:
+      raise SystemExit('state-only datasets require --train_mode episode '
+                       '(on-device re-rendering)')
+    meta = get_meta(args.dataset_dir)
+    from ..envs.base import make_env
+    env = make_env(meta.get('shapes', 'pad2-cube2'),
+                   frame_res=(meta['img_height'], meta['img_width']))
+    env.setup()
+    render_fn = env.render_from_qpos
+    print('>>> state-only dataset: on-device re-rendering '
+          f'({meta.get("shapes", "pad2-cube2")})')
+  del ep0
+
   if episode_mode:
     from ..models.train import make_episode_train_fns
     init_fn, train_step, eval_step, _ = make_episode_train_fns(
-        config, goal_conditioned, chunk_windows=args.chunk_windows)
+        config, goal_conditioned, chunk_windows=args.chunk_windows,
+        render_fn=render_fn, aug_pad=args.aug_shift)
   else:
     init_fn, train_step, eval_step, _ = make_train_fns(config,
                                                        goal_conditioned)
