@@ -296,12 +296,12 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
     flat_q = qpos.reshape(n, -1)
     flat_m = mocap.reshape(n, -1)
     flat_r = jnp.repeat(rgba, T, axis=0)
-    CH = render_chunk
+    CH = min(render_chunk, n)
     n_pad = (-n) % CH
     if n_pad:
-      flat_q = jnp.concatenate([flat_q, flat_q[-n_pad:]])
-      flat_m = jnp.concatenate([flat_m, flat_m[-n_pad:]])
-      flat_r = jnp.concatenate([flat_r, flat_r[-n_pad:]])
+      # clamped index pad (works even when n_pad > n, e.g. tiny tests)
+      idx = jnp.minimum(jnp.arange(n + n_pad), n - 1)
+      flat_q, flat_m, flat_r = flat_q[idx], flat_m[idx], flat_r[idx]
 
     def rchunk(args):
       rgb, _ = jax.vmap(render_fn)(*args)

@@ -297,3 +297,132 @@ def test_loss_weighting_cmd_mag(ds):
   r = float(outs['cmd_mag']['loss_cmd_ee']) / \
       max(float(outs['none']['loss_cmd_ee']), 1e-9)
   assert 0.2 < r < 5.0, r
+
+
+# ---------------------------------------------------- state-only datasets
+
+
+_NQ = 9
+
+
+def _render_stub(q, mc, rgba):
+  """Deterministic pseudo-renderer: pixels are a pure function of the
+  state, so frame-mode and state-only batches must produce identical
+  losses (the real path uses envs/base.py render_from_qpos)."""
+  v = jnp.sum(q) + 0.3 * jnp.sum(mc) + 0.1 * jnp.sum(rgba)
+  x = jnp.sin(jnp.arange(H * W * 3, dtype=jnp.float32) * 0.13 + v)
+  rgb = ((x.reshape(H, W, 3) * 0.5 + 0.5) * 255).astype(jnp.uint8)
+  return rgb, jnp.zeros((H, W), jnp.float32)
+
+
+def _state_episode(seed):
+  ep = _episode(seed)
+  rng = np.random.RandomState(seed + 1000)
+  qpos = rng.randn(T, _NQ).astype(np.float32)
+  rgba = rng.rand(4, 4).astype(np.float32)
+  rgb = np.stack([
+      np.asarray(_render_stub(qpos[t], ep['mocap_qpos-robot0:mocap'][t],
+                              rgba)[0]) for t in range(T)])
+  state_ep = {k: v for k, v in ep.items() if k not in ('rgb', 'depth')}
+  state_ep['full_qpos'] = qpos
+  state_ep['rgba'] = rgba
+  frame_ep = dict(ep)
+  frame_ep['rgb'] = rgb
+  del frame_ep['depth']
+  return state_ep, frame_ep
+
+
+@pytest.fixture(scope='module')
+def ds_pair(tmp_path_factory):
+  """Two datasets with IDENTICAL trajectories: one state-only, one with
+  the stub-rendered frames materialized on disk."""
+  roots = {}
+  for kind in ('states', 'frames'):
+    root = str(tmp_path_factory.mktemp('sds') / kind)
+    os.makedirs(os.path.join(root, 'meta'))
+    with open(os.path.join(root, 'meta', 'meta_info.json'), 'w') as fp:
+      json.dump({'episode_length': T, 'img_height': H, 'img_width': W,
+                 'shapes': 'stub'}, fp)
+    names = []
+    for i in range(2):
+      name = f'replay_buffer_{i + 1:04d}'
+      state_ep, frame_ep = _state_episode(i)
+      save_episode_npz(os.path.join(root, 'data', name + '.npz'),
+                       state_ep if kind == 'states' else frame_ep,
+                       {'task_goal': 'goal0', 'task_object': 'object0'})
+      names.append(name)
+    os.makedirs(os.path.join(root, 'splits', 'default'))
+    for mode in ('train', 'eval', 'test'):
+      with open(os.path.join(root, 'splits', 'default', mode + '.txt'),
+                'w') as fp:
+        fp.write('\n'.join(names) + '\n')
+    roots[kind] = root
+  return roots
+
+
+def test_state_only_batch_layout(ds_pair):
+  b = next(iter(D.episode_pipeline(ds_pair['states'], 'default', 'train',
+                                   batch_episodes=2, window_size=K,
+                                   fetch_target=True, seed=0,
+                                   aug_shift=2)))
+  F = T - 1
+  assert 'frames' not in b
+  assert b['qpos'].shape == (2, F, _NQ)
+  assert b['mocap'].shape == (2, F, 7)
+  assert b['rgba'].shape == (2, 4, 4)
+  assert b['tgt_qpos'].shape == (2, _NQ)
+  assert b['tgt_mocap'].shape == (2, 7)
+  assert b['aug_shift'].shape == (2, 2)
+  assert np.abs(b['aug_shift']).max() <= 2
+
+
+def test_state_only_matches_frame_mode(ds_pair):
+  """eval_step on a state-only batch (on-device re-render) must equal
+  eval_step on the equivalent frames-on-disk batch exactly."""
+  cfg = _config()
+  init_fn, _, eval_f, _ = make_episode_train_fns(cfg, True,
+                                                 chunk_windows=4)
+  _, _, eval_s, _ = make_episode_train_fns(cfg, True, chunk_windows=4,
+                                           render_fn=_render_stub)
+  ts = init_fn(jax.random.PRNGKey(3), 2)
+  kw = dict(batch_episodes=2, window_size=K, fetch_target=True,
+            shuffle=False)
+  bf = next(iter(D.episode_pipeline(ds_pair['frames'], 'default', 'train',
+                                    **kw)))
+  bs = next(iter(D.episode_pipeline(ds_pair['states'], 'default', 'train',
+                                    **kw)))
+  mf = eval_f(ts, jax.tree.map(jnp.asarray, bf))
+  ms = eval_s(ts, jax.tree.map(jnp.asarray, bs))
+  for k in mf:
+    np.testing.assert_allclose(float(ms[k]), float(mf[k]), rtol=1e-5,
+                               err_msg=k)
+
+
+def test_state_only_aug_shift_matches_host_shift(ds_pair):
+  """The on-device post-render shift must match the host-side numpy
+  shift (data/dataset.py _shift2d) applied to the same frames."""
+  cfg = _config()
+  s = 3
+  init_fn, _, eval_f, _ = make_episode_train_fns(cfg, True,
+                                                 chunk_windows=4)
+  _, _, eval_s, _ = make_episode_train_fns(cfg, True, chunk_windows=4,
+                                           render_fn=_render_stub,
+                                           aug_pad=s)
+  ts = init_fn(jax.random.PRNGKey(3), 2)
+  kw = dict(batch_episodes=2, window_size=K, fetch_target=True,
+            shuffle=False)
+  bf = next(iter(D.episode_pipeline(ds_pair['frames'], 'default', 'train',
+                                    **kw)))
+  bs = next(iter(D.episode_pipeline(ds_pair['states'], 'default', 'train',
+                                    **kw)))
+  shifts = np.asarray([[1, -2], [-3, 0]], np.int32)
+  bs['aug_shift'] = shifts
+  for bi in range(2):
+    dy, dx = shifts[bi]
+    bf['frames'][bi] = D._shift2d(bf['frames'][bi], dy, dx, s)
+    bf['target_rgb'][bi] = D._shift2d(bf['target_rgb'][bi], dy, dx, s)
+  mf = eval_f(ts, jax.tree.map(jnp.asarray, bf))
+  ms = eval_s(ts, jax.tree.map(jnp.asarray, bs))
+  for k in mf:
+    np.testing.assert_allclose(float(ms[k]), float(mf[k]), rtol=1e-5,
+                               err_msg=k)
