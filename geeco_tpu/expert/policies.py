@@ -176,7 +176,7 @@ def make_expert(env: GeecoEnv):
 
 
 def rollout(env: GeecoEnv, es: EnvState, expert_step, length: int = 100,
-            record_fn=None, step_textures=None):
+            record_fn=None, step_textures=None, action_noise=None):
   """Scan an expert episode; returns (final EnvState, stacked records).
 
   record_fn(env, es, action, xs, textures=...) -> pytree of per-step
@@ -185,17 +185,29 @@ def rollout(env: GeecoEnv, es: EnvState, expert_step, length: int = 100,
 
   step_textures ([length, R, R, 3] or None): per-step background texel
   frames for video domain randomization, forwarded to record_fn.
+
+  action_noise ([length, 4] or None): DART-style noise injection — the
+  EXECUTED action is expert + noise (then exec-clipped like any action),
+  while the RECORDED cmd stays the expert's clean action.  The dataset
+  thus demonstrates corrective behavior from the slightly-off states a
+  closed-loop imitation policy actually visits (covariate-shift
+  mitigation; Laskey et al. 2017).  Note recorded cmd sequences from
+  noisy episodes do NOT open-loop replay to the recorded states (the
+  per-step state records remain self-consistent).
   """
 
-  def body(carry, tex):
+  def body(carry, x):
+    tex, nz = x
     es, xs = carry
     action, xs2 = expert_step(es, xs)
     rec = record_fn(env, es, action, xs2, textures=tex) \
         if record_fn is not None else action
-    es2 = env.step(es, action)
+    exec_action = action if nz is None else action + nz
+    es2 = env.step(es, exec_action)
     return (es2, xs2), rec
 
   (es_f, _), recs = jax.lax.scan(
-      body, (es, init_expert_state()), step_textures,
-      length=length if step_textures is None else None)
+      body, (es, init_expert_state()), (step_textures, action_noise),
+      length=length if (step_textures is None and action_noise is None)
+      else None)
   return es_f, recs

@@ -77,6 +77,11 @@ ARGPARSER.add_argument('--perturb_prefix', type=int, default=0,
                             'per episode before the expert takes over '
                             '(recorded episode starts AFTER the pre-roll; '
                             'DAgger-lite start diversity)')
+ARGPARSER.add_argument('--expert_noise', type=float, default=0.0,
+                       help='DART collection: execute expert + '
+                            'N(0, sigma) on the EE translation, '
+                            'record the clean expert action '
+                            '(expert/policies.py rollout)')
 ARGPARSER.add_argument('--debug', default=False, action='store_true')
 
 if __name__ == '__main__':

@@ -65,6 +65,11 @@ ARGPARSER.add_argument('--dataset_formats', type=str, default='all',
                             'states = frameless collect storing full qpos '
                             'per step (~40 KB/episode) — training '
                             're-renders on device (data/episode.py)')
+ARGPARSER.add_argument('--expert_noise', type=float, default=0.0,
+                       help='DART collection: execute expert + '
+                            'N(0, sigma) on the EE translation, '
+                            'record the clean expert action '
+                            '(expert/policies.py rollout)')
 ARGPARSER.add_argument('--debug', default=False, action='store_true')
 
 if __name__ == '__main__':

@@ -155,10 +155,20 @@ def run_collect(args):
       cycler = None
 
   @jax.jit
-  def run_episodes(es, tex_steps=None):  # vmapped over the env batch
-    return jax.vmap(
-        lambda e: rollout(env, e, expert, length=episode_steps,
-                          record_fn=record_fn, step_textures=tex_steps))(es)
+  def run_episodes(es, tex_steps=None, noise=None):  # vmapped over envs
+    def one(e, nz):
+      return rollout(env, e, expert, length=episode_steps,
+                     record_fn=record_fn, step_textures=tex_steps,
+                     action_noise=nz)
+    if noise is None:
+      return jax.vmap(lambda e: one(e, None))(es)
+    return jax.vmap(one)(es, noise)
+
+  # DART-style noise-injected collection (--expert_noise): executed action
+  # = expert + N(0, sigma) on the EE translation (gripper stays clean);
+  # recorded cmd = the expert's clean corrective action.  Covers the
+  # slightly-off states a closed-loop BC policy actually visits.
+  sigma = max(0.0, getattr(args, 'expert_noise', 0.0))
 
   # perturbation-augmented starts: k random pre-roll steps per env (k ~
   # U[0, P]) before the expert episode begins.  Inactive steps apply the
@@ -215,12 +225,18 @@ def run_collect(args):
     es = _shard(es, mesh)
     if args.dry_run:
       return dict(chunk=chunk, n=n, es=es)
+    noise = None
+    if sigma > 0:
+      rng, subn = jax.random.split(rng)
+      noise = sigma * jax.random.normal(subn, (B, episode_steps, 3))
+      noise = jnp.concatenate(
+          [noise, jnp.zeros((B, episode_steps, 1))], axis=-1)
     if cycler is not None:
       tex_steps = jnp.asarray(cycler.texel_steps(
           episode_steps, env.renderer.scene.tex_res))
-      es_f, recs = run_episodes(es, tex_steps)
+      es_f, recs = run_episodes(es, tex_steps, noise)
     else:
-      es_f, recs = run_episodes(es)
+      es_f, recs = run_episodes(es, None, noise)
     return dict(chunk=chunk, n=n, es=es, recs=recs,
                 metrics=eval_batch(es_f))
 
@@ -255,6 +271,8 @@ def run_collect(args):
       rec_k = jax.tree.map(lambda x: x[k], recs)
       es_k = jax.tree.map(lambda x: x[k], job['es'])
       ctx = _episode_context(env, es_k)
+      if sigma > 0:
+        ctx['expert_noise'] = sigma   # provenance: DART episode
       if state_only:
         # per-episode recolor table: with full_qpos + mocap this is the
         # complete render input (envs/base.py render_from_qpos)
