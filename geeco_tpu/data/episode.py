@@ -47,6 +47,10 @@ def meta_info_dict(env: GeecoEnv) -> Dict:
       'monitored_objects': list(env.obj_joint_names),
       'dim_cmd': 4,
       'dim_ctrl': len(env.actuated_joints),
+      # renderer settings: a state-only dataset re-renders at train time,
+      # so non-default rendering (--shadows/--tex_grid) must be recorded
+      # for the 'exact pixels' guarantee to hold (ADVICE r4)
+      'renderer_kwargs': dict(getattr(env, 'renderer_kwargs', {})),
   }
 
 

@@ -222,6 +222,9 @@ class GeecoEnv:
     self.solver_unroll = solver_unroll
     self.mass_inverse = mass_inverse
     h, w = frame_res
+    # kept for dataset meta: a state-only collect must record the exact
+    # renderer configuration so training re-renders the same pixels
+    self.renderer_kwargs = dict(renderer_kwargs or {})
     self.renderer = build_renderer(self.model, self.assets, width=w,
                                    height=h, **(renderer_kwargs or {}))
     self.n_substeps = n_substeps

@@ -105,6 +105,11 @@ def make_closed_loop(env: GeecoEnv, config: E2EVMCConfig,
     action, ps = policy_step(params, ps, obs, jnt, tgt_frame)
     es = env.step(es, action)
     m = env.eval_metrics(es)
+    # failure-triage extras (not part of the reference eval contract):
+    # object height tells lift apart from floor-drag; reference analogue
+    # is manual video inspection (gym_pickplace.py:703-720 CSV rows).
+    kin = env.kin(es)
+    m['obj_z'] = env.task_object_pos(es, kin)[2]
     return es, ps, m, rgb
 
   return step_fn
@@ -184,6 +189,9 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
       'obj_vicinity': jnp.zeros(B), 'grasp_success': jnp.zeros(B),
       'min_goal_dist': jnp.full(B, 1e3), 'max_goal_dist': jnp.zeros(B),
       'final_goal_dist': jnp.zeros(B), 'task_success': jnp.zeros(B),
+      # triage extras: where in grasp->transport->place does it fail?
+      'steps_grasped': jnp.zeros(B), 'max_obj_z': jnp.zeros(B),
+      'drop_goal_dist': jnp.full(B, -1.0), 'last_grasp': jnp.zeros(B),
   }
   frames = [] if collect_frames > 0 else None
   for t in range(n_steps):
@@ -200,6 +208,13 @@ def evaluate_batched(env: GeecoEnv, config: E2EVMCConfig, params,
     agg['max_goal_dist'] = jnp.maximum(agg['max_goal_dist'], m['goal_dist'])
     agg['final_goal_dist'] = m['goal_dist']
     agg['task_success'] = m['task_success']
+    agg['steps_grasped'] = agg['steps_grasped'] + m['grasp_success']
+    agg['max_obj_z'] = jnp.maximum(agg['max_obj_z'], m['obj_z'])
+    # goal_dist at the (last) moment the grasp was lost: -1 = never lost
+    dropped = (agg['last_grasp'] > 0) & (m['grasp_success'] == 0)
+    agg['drop_goal_dist'] = jnp.where(dropped, m['goal_dist'],
+                                      agg['drop_goal_dist'])
+    agg['last_grasp'] = m['grasp_success']
   if frames is not None:
     import numpy as np
     return agg, np.stack(frames)

@@ -318,6 +318,14 @@ def make_episode_train_fns(config: E2EVMCConfig, goal_conditioned: bool,
                                    rgba)
     if 'aug_shift' in b:
       sh = b.pop('aug_shift')
+      if aug_pad <= 0:
+        # lax.dynamic_slice clamps out-of-range starts, so an aug_shift
+        # batch fed to fns built with aug_pad=0 would silently truncate
+        # the shifts instead of applying them (ADVICE r4): fail loudly.
+        raise ValueError(
+            'batch carries aug_shift offsets but make_episode_train_fns '
+            'was built with aug_pad=0; pass aug_pad >= the pipeline\'s '
+            'aug_shift so _shift_frames has real padding to slide over')
       s = max(aug_pad, 1)
       frames = jax.vmap(lambda f, d: _shift_frames(f, d[0], d[1], s))(
           frames, sh)

@@ -119,6 +119,19 @@ def run_collect(args):
   # the TPU stand-in for the reference GLFW window: pickplace.py:590-591)
   fmt = getattr(args, 'dataset_formats', 'all')
   state_only = fmt == 'states'
+  if state_only and args.rendering_mode not in ('none', ''):
+    # frameless collection records qpos only — no frames exist to feed a
+    # viewer/video/tfrecord sink (ADVICE r4: say so instead of silently
+    # producing nothing; 'tfrecord' is the argparse default, so a hard
+    # error would reject plain `--dataset_formats states` invocations)
+    print(f'WARNING: --dataset_formats states records no frames; '
+          f'rendering_mode={args.rendering_mode} output will not be '
+          f'produced')
+  if state_only and getattr(args, 'background_video', ''):
+    raise SystemExit('--background_video is incompatible with '
+                     '--dataset_formats states: per-step background '
+                     'texels are not recorded, so re-rendered training '
+                     'frames could not reproduce them')
   with_frames = (not state_only
                  and args.rendering_mode in ('tfrecord', 'viewer'))
   fast = fmt in ('npz', 'states')
@@ -435,7 +448,12 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
       if 'depth' in ep:
         tgt_depths.append(np.asarray(ep['depth'][-1], np.float32))
     elif 'full_qpos' in ep:
-      render_states.append((np.asarray(ep['full_qpos'][-1], np.float32),
+      # placeholder keeps tgts aligned with the spec/path order when the
+      # split mixes frame-mode and state-only episodes; filled in place
+      # after the batched re-render below.
+      tgts.append(None)
+      render_states.append((len(tgts) - 1,
+                            np.asarray(ep['full_qpos'][-1], np.float32),
                             np.asarray(ep['mocap_qpos-robot0:mocap'][-1],
                                        np.float32),
                             np.asarray(ep['rgba'], np.float32)))
@@ -445,13 +463,17 @@ def _dataset_eval_set(env, dataset_dir: str, split_name: str, n_eps: int):
     # re-render the goal frames on device from the recorded final states
     # (state-only datasets; exact pixels of the frame-mode recording)
     env.setup()
-    rq = jnp.asarray(np.stack([r[0] for r in render_states]))
-    rm = jnp.asarray(np.stack([r[1] for r in render_states]))
-    rr = jnp.asarray(np.stack([r[2] for r in render_states]))
+    slots = [r[0] for r in render_states]
+    rq = jnp.asarray(np.stack([r[1] for r in render_states]))
+    rm = jnp.asarray(np.stack([r[2] for r in render_states]))
+    rr = jnp.asarray(np.stack([r[3] for r in render_states]))
     render_b = jax.jit(jax.vmap(env.render_from_qpos))
+    rendered = []
     for s in range(0, rq.shape[0], 64):
       rgb, _ = render_b(rq[s:s + 64], rm[s:s + 64], rr[s:s + 64])
-      tgts.extend(np.asarray(rgb).astype(np.float32) / 255.0)
+      rendered.extend(np.asarray(rgb).astype(np.float32) / 255.0)
+    for slot, frame in zip(slots, rendered):
+      tgts[slot] = frame
   specs = ResetSpec(
       obj_qpos=jnp.asarray(np.stack(objq), jnp.float32),
       mocap_qpos=jnp.asarray(np.stack(mocapq), jnp.float32),
@@ -569,10 +591,20 @@ def run_controller_batched(args):
           'max_goal_dist': float(agg['max_goal_dist'][k]),
           'final_goal_dist': float(agg['final_goal_dist'][k]),
           'video_file': video_file,
+          '_steps_grasped': int(agg['steps_grasped'][k]),
+          '_max_obj_z': float(agg['max_obj_z'][k]),
+          '_drop_goal_dist': float(agg['drop_goal_dist'][k]),
+          '_rng': np.asarray(rngs[k]),
       })
+  if args.rendering_mode == 'video' and specs is not None:
+    _record_failure_videos(args, env, config, params, goal_conditioned,
+                           specs, tgt_all, tgt_depth_all, n_eps, rows,
+                           wrk_dir, mesh)
+  _write_triage(wrk_dir, rows)
   with open(os.path.join(wrk_dir, 'eval_results.csv'), 'w',
             newline='') as fp:
-    writer = csv.DictWriter(fp, fieldnames=EVAL_FIELDS, delimiter=';')
+    writer = csv.DictWriter(fp, fieldnames=EVAL_FIELDS, delimiter=';',
+                            extrasaction='ignore')
     writer.writeheader()
     for r in rows:
       writer.writerow(r)
@@ -582,6 +614,89 @@ def run_controller_batched(args):
       fp.write(f'{k}\t{avg:.2f}\n')
       print(f'>>> {k}: {avg:.2f}%')
   return rows
+
+
+# episode phase ladder derived from the triage metrics: how far along
+# reach->grasp->lift->transport->place did each episode get?
+def _phase_reached(r):
+  if r['task_success']:
+    return 'placed'
+  if r['_drop_goal_dist'] >= 0 and r['_drop_goal_dist'] <= 0.0625:
+    return 'dropped_near_goal'
+  if r['_max_obj_z'] > 0.47:          # table top ~0.425 + half cube
+    return 'lifted'
+  if r['grasp_success']:
+    return 'grasped'
+  if r['obj_vicinity']:
+    return 'reached'
+  return 'none'
+
+
+def _write_triage(wrk_dir, rows):
+  """Per-episode failure triage (round-5 ask #4): phase-reached ladder +
+  drop distance, written beside the reference-format eval CSV."""
+  fields = ('episode_id', 'phase', 'steps_grasped', 'max_obj_z',
+            'drop_goal_dist', 'min_goal_dist', 'final_goal_dist',
+            'video_file')
+  counts = {}
+  with open(os.path.join(wrk_dir, 'triage_results.csv'), 'w',
+            newline='') as fp:
+    writer = csv.writer(fp, delimiter=';')
+    writer.writerow(fields)
+    for r in rows:
+      phase = _phase_reached(r)
+      counts[phase] = counts.get(phase, 0) + 1
+      writer.writerow([r['episode_id'], phase, r['_steps_grasped'],
+                       f"{r['_max_obj_z']:.4f}",
+                       f"{r['_drop_goal_dist']:.4f}",
+                       f"{r['min_goal_dist']:.4f}",
+                       f"{r['final_goal_dist']:.4f}", r['video_file']])
+  order = ('placed', 'dropped_near_goal', 'lifted', 'grasped', 'reached',
+           'none')
+  summary = '  '.join(f'{p}={counts.get(p, 0)}' for p in order)
+  with open(os.path.join(wrk_dir, 'triage_summary.txt'), 'w') as fp:
+    fp.write(summary + '\n')
+  print(f'>>> phase ladder: {summary}')
+
+
+def _record_failure_videos(args, env, config, params, goal_conditioned,
+                           specs, tgt_all, tgt_depth_all, n_eps, rows,
+                           wrk_dir, mesh):
+  """Second pass: record videos for FAILING episodes (grasped but not
+  placed), not just the first chunk (round-5 ask #4; the reference logs a
+  video per eval episode, gym_pickplace.py:941-945)."""
+  import jax
+  import jax.numpy as jnp
+  from ..models.closed_loop import evaluate_batched
+  fail = [i for i, r in enumerate(rows)
+          if r['grasp_success'] and not r['task_success']]
+  if not fail:
+    return
+  sel = fail[:16]
+  V = len(sel)
+  idx = jnp.asarray(np.asarray(sel))
+  spec_chunk = jax.tree.map(lambda x: x[idx], specs)
+  # reuse each episode's original reset rng so the failure reproduces
+  rngs = jnp.asarray(np.stack([rows[i]['_rng'] for i in sel]))
+  es0 = _shard(jax.jit(jax.vmap(env.reset_to))(spec_chunk, rngs), mesh)
+  tgt = jnp.asarray(tgt_all[np.asarray(sel)])
+  if config.img_channels == 4:
+    d = (jnp.asarray(tgt_depth_all[np.asarray(sel)])[..., None]
+         if tgt_depth_all is not None else jnp.zeros(tgt.shape[:-1] + (1,)))
+    tgt = jnp.concatenate([tgt, d], axis=-1)
+  episode_steps = (args.max_episode_steps if args.max_episode_steps > 0
+                   else EPISODE_STEPS_CONTROL)
+  _, frames = evaluate_batched(
+      env, config, params, goal_conditioned, rngs, tgt_frames=tgt,
+      n_steps=episode_steps, es0=es0,
+      carry_mode=getattr(args, 'carry_mode', 'auto'), mesh=mesh,
+      collect_frames=V)
+  for v, i in enumerate(sel):
+    episode_id = rows[i]['episode_id']
+    vid = VideoRecorder(f'failure_{episode_id:04d}', wrk_dir)
+    for frame in frames[:, v]:
+      vid.feed(frame)
+    rows[i]['video_file'] = vid.finalize() or rows[i]['video_file']
 
 
 def run_controller(args):

@@ -137,7 +137,8 @@ def main(args):
     meta = get_meta(args.dataset_dir)
     from ..envs.base import make_env
     env = make_env(meta.get('shapes', 'pad2-cube2'),
-                   frame_res=(meta['img_height'], meta['img_width']))
+                   frame_res=(meta['img_height'], meta['img_width']),
+                   renderer_kwargs=meta.get('renderer_kwargs', {}))
     env.setup()
     render_fn = env.render_from_qpos
     print('>>> state-only dataset: on-device re-rendering '
