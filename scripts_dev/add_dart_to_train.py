@@ -1,0 +1,52 @@
+"""Append newly collected DART episodes (ids > 3000) to the train split.
+
+Failures are moved to data_failed/ first (same policy as pipeline_r4b.sh);
+eval/test lists are left byte-identical so the r4/r5 eval curves stay
+comparable.  Run after the --expert_noise collect finishes:
+
+    python scripts_dev/add_dart_to_train.py /tmp/collect_dart.log
+"""
+import os
+import re
+import shutil
+import sys
+
+DS = '/root/ds4/collect'
+SPLIT = os.path.join(DS, 'splits', 'default')
+LOG = sys.argv[1] if len(sys.argv) > 1 else '/tmp/collect_dart.log'
+
+succ, fail = [], []
+with open(LOG) as fp:
+  for line in fp:
+    m = re.match(r'episode (\d+): task_success=(\d)', line)
+    if m and int(m.group(1)) > 3000:
+      (succ if m.group(2) == '1' else fail).append(int(m.group(1)))
+
+os.makedirs(os.path.join(DS, 'data_failed'), exist_ok=True)
+moved = 0
+for eid in fail:
+  for ext in ('npz', 'json'):
+    src = os.path.join(DS, 'data', f'replay_buffer_{eid:04d}.{ext}')
+    if os.path.exists(src):
+      shutil.move(src, os.path.join(DS, 'data_failed',
+                                    f'replay_buffer_{eid:04d}.{ext}'))
+      moved += ext == 'npz'
+
+with open(os.path.join(SPLIT, 'train.txt')) as fp:
+  have = {line.strip() for line in fp if line.strip()}
+added = 0
+with open(os.path.join(SPLIT, 'train.txt'), 'a') as fp:
+  for eid in succ:
+    name = f'replay_buffer_{eid:04d}.npz'
+    if name not in have and os.path.exists(os.path.join(DS, 'data', name)):
+      fp.write(name + '\n')
+      added += 1
+n = len(succ) + len(fail)
+print(f'DART collect: {len(succ)}/{n} task_success '
+      f'({100.0 * len(succ) / max(n, 1):.2f}%); '
+      f'{moved} failures filtered, {added} episodes appended to train')
+with open('/root/repo/artifacts/r5/dart_collect_stats.txt', 'w') as out:
+  out.write(f'pad2-cube2 DART collect (expert_noise sigma=0.1): '
+            f'{len(succ)}/{n} task_success '
+            f'({100.0 * len(succ) / max(n, 1):.2f}%); '
+            f'{added} appended to train split (train-only)\n')
