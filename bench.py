@@ -48,6 +48,7 @@ NORTH_STAR = 1_000_000.0
 
 # best-so-far results, readable from the signal handler
 _RESULTS = {}
+_TRAIN_STEPS = None   # E2EVMC episode-scan train steps/sec (ask #5)
 _EMITTED = False
 
 
@@ -71,6 +72,10 @@ def _emit(note=''):
     # machine-readable truncation marker: callers can distinguish a sweep
     # cut short by SIGTERM/SIGALRM from a completed one (ADVICE.md round 3)
     out['truncated'] = True
+  if _TRAIN_STEPS is not None:
+    # the training half of the BASELINE metric (E2EVMC episode-scan train
+    # steps/sec, 8 episodes/batch, 256x256 on-device re-render)
+    out['train_steps_per_sec'] = round(_TRAIN_STEPS, 3)
   print(json.dumps(out), flush=True)
   return True
 
@@ -158,6 +163,78 @@ def _bench_one(env, num_envs, n_iters, scan=False):
   return num_envs * n_iters / dt
 
 
+def _bench_train_steps(env, n_iters=5):
+  """E2EVMC episode-scan train steps/sec (state-only materialization at
+  256x256, the production r4/r5 training operating point) — the training
+  half of the BASELINE metric (round-4 verdict ask #5).
+
+  Self-contained: the batch is synthesized around the env's settled
+  initial state with the exact key/shape layout of
+  data/dataset.py::_assemble_episode_batch (state-only branch), so no
+  dataset needs to exist on the bench machine.
+  """
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from geeco_tpu.data.dataset import window_indices
+  from geeco_tpu.models.params import create_e2evmc_config
+  from geeco_tpu.models.train import make_episode_train_fns
+
+  config = create_e2evmc_config({
+      'control_mode': 'cartesian', 'proc_obs': 'dynimg',
+      'proc_tgt': 'dyndiff', 'img_channels': 3, 'window_size': 4,
+      'batch_size': 32, 'lr': 2e-4, 'lambda_aux': 1.0,
+      'loss_weighting': 'cmd_mag', 'start_boost': 6.0,
+      'start_boost_windows': 13,
+  })
+  init_fn, train_step, _, _ = make_episode_train_fns(
+      config, True, chunk_windows=8, render_fn=env.render_from_qpos,
+      aug_pad=10)
+  ts = init_fn(jax.random.PRNGKey(0), config.batch_size)
+
+  B = int(os.environ.get('BENCH_TRAIN_B', '8'))
+  T = int(os.environ.get('BENCH_TRAIN_T', '99'))
+  K = config.window_size
+  phys = env.setup()
+  nq = int(np.asarray(phys.qpos).shape[0])
+  J = config.dim_jnt_state
+  widx = window_indices(T, K, pad_start=True).astype(np.int32)
+  N = widx.shape[0]
+  rng = np.random.RandomState(0)
+  qpos = (np.asarray(phys.qpos)[None, None, :] +
+          0.01 * rng.randn(B, T, nq)).astype(np.float32)
+  mocap = np.concatenate([np.asarray(phys.mocap_pos)[0],
+                          np.asarray(phys.mocap_quat)[0]]).astype(np.float32)
+  mocap = np.broadcast_to(mocap, (B, T, 7)).copy()
+  batch = {
+      'widx': widx, 'valid': np.ones((N,), bool),
+      'jnt_state': rng.randn(B, T, J).astype(np.float32),
+      'cmd': rng.uniform(-1, 1, (B, N, 4)).astype(np.float32),
+      'vel_target': rng.randn(B, N, J).astype(np.float32),
+      'ee_target': rng.randn(B, N, 7).astype(np.float32),
+      'grp_target': rng.rand(B, N, 2).astype(np.float32),
+      'pos_ee': rng.randn(B, N, 3).astype(np.float32),
+      'pos_obj': rng.randn(B, N, 3).astype(np.float32),
+      'step': np.broadcast_to(np.arange(N, dtype=np.int32), (B, N)).copy(),
+      'qpos': qpos, 'mocap': mocap,
+      'rgba': np.broadcast_to(np.asarray(env.rgba0, np.float32),
+                              (B,) + np.asarray(env.rgba0).shape).copy(),
+      'tgt_qpos': qpos[:, -1], 'tgt_mocap': mocap[:, -1],
+      'aug_shift': rng.randint(-10, 11, (B, 2)).astype(np.int32),
+  }
+  batch = {k: jnp.asarray(v) for k, v in batch.items()}
+  step = jax.jit(train_step)
+  ts, m = step(ts, batch)             # trace + compile
+  _readback(m['loss'])
+  ts, m = step(ts, batch)             # steady-state dispatch
+  _readback(m['loss'])
+  t0 = time.perf_counter()
+  for _ in range(n_iters):
+    ts, m = step(ts, batch)
+  _readback(m['loss'])
+  return n_iters / (time.perf_counter() - t0)
+
+
 def main():
   signal.signal(signal.SIGTERM, _on_signal)
   signal.signal(signal.SIGALRM, _on_signal)
@@ -202,6 +279,15 @@ def main():
       print(f'# B={b} failed: {type(e).__name__}: {e}', file=sys.stderr)
   if not _RESULTS:
     raise SystemExit('all batch sizes failed')
+  if os.environ.get('BENCH_TRAIN', '1') == '1':
+    global _TRAIN_STEPS
+    try:
+      _TRAIN_STEPS = _bench_train_steps(env)
+      print(f'# train: {_TRAIN_STEPS:.3f} steps/s', file=sys.stderr,
+            flush=True)
+    except Exception as e:  # the env-step metric must still be emitted
+      print(f'# train bench failed: {type(e).__name__}: {e}',
+            file=sys.stderr)
   signal.alarm(0)
   _emit()
 
