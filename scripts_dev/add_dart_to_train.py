@@ -14,6 +14,7 @@ import sys
 DS = '/root/ds4/collect'
 SPLIT = os.path.join(DS, 'splits', 'default')
 LOG = sys.argv[1] if len(sys.argv) > 1 else '/tmp/collect_dart.log'
+SIGMA = os.environ.get('DART_SIGMA', '0.1')
 
 succ, fail = [], []
 with open(LOG) as fp:
@@ -46,7 +47,7 @@ print(f'DART collect: {len(succ)}/{n} task_success '
       f'({100.0 * len(succ) / max(n, 1):.2f}%); '
       f'{moved} failures filtered, {added} episodes appended to train')
 with open('/root/repo/artifacts/r5/dart_collect_stats.txt', 'w') as out:
-  out.write(f'pad2-cube2 DART collect (expert_noise sigma=0.1): '
+  out.write(f'pad2-cube2 DART collect (expert_noise sigma={SIGMA}): '
             f'{len(succ)}/{n} task_success '
             f'({100.0 * len(succ) / max(n, 1):.2f}%); '
             f'{added} appended to train split (train-only)\n')
