@@ -63,7 +63,8 @@ def _emit(note=''):
   out = {
       'metric': (f'pad2-cube2 env steps/sec/chip (B={best_b} of '
                  f'{sorted(_RESULTS)}; 20 substeps + 256x256 render per '
-                 f'step; forced-readback timing{note})'),
+                 f'step; ce=2 + binning 192/96, both fidelity-gated; '
+                 f'forced-readback timing{note})'),
       'value': round(steps_per_sec, 2),
       'unit': 'env_steps/sec/chip',
       'vs_baseline': round(steps_per_sec / NORTH_STAR, 6),
@@ -251,7 +252,16 @@ def main():
     sweep = [int(b) for b in
              os.environ.get('BENCH_SWEEP', '256').split(',')]
 
-  env_kwargs = {}
+  # Round-5 perf defaults, both fidelity-gated (override via env):
+  #   * collide_every=2 — narrowphase contacts reused for 2 substeps.
+  #     Replay-parity sweep (STATUS.md, scripts_dev/replay_fidelity_sweep):
+  #     task success preserved on ALL five MuJoCo fixtures (pick/push/
+  #     clutter/nut-cone/ball-cup), drift 8.4 mm on the bench scene.
+  #   * render binning caps 192/96 (from 512/192) — pixel-EXACT (0.000%
+  #     mismatch >2/255) on pad2-cube2 probe states
+  #     (scripts_dev/binning_fidelity.py): the scene's per-region depth
+  #     complexity is far below the default capacity.
+  env_kwargs = {'collide_every': 2}
   if 'BENCH_SOLVER_ITERS' in os.environ:
     env_kwargs['solver_iterations'] = int(os.environ['BENCH_SOLVER_ITERS'])
   if 'BENCH_SOLVER_METHOD' in os.environ:
@@ -266,6 +276,10 @@ def main():
     env_kwargs['mass_inverse'] = os.environ['BENCH_MASS_INVERSE']
   if 'BENCH_SOLVER_UNROLL' in os.environ:
     env_kwargs['solver_unroll'] = int(os.environ['BENCH_SOLVER_UNROLL'])
+  rk = os.environ.get('BENCH_RK', '192,96')
+  if rk:
+    k1, k2 = (int(v) for v in rk.split(','))
+    env_kwargs['renderer_kwargs'] = {'coarse_k': k1, 'mid_k': k2}
   env = GeecoEnv(shapes='pad2-cube2', settle_steps=2, **env_kwargs)
   env.setup()
 

@@ -32,6 +32,9 @@ SWEEP = [int(b) for b in os.environ.get('SWEEP', '256,512,1024').split(',')]
 N = int(os.environ.get('N', '8'))
 SCENE = os.environ.get('SCENE', 'pad2-cube2')
 RENDER = int(os.environ.get('RENDER', '1'))
+# RK=coarse_k,mid_k : binning-capacity trim (fidelity gate:
+# scripts_dev/binning_fidelity.py — adopt only at <1% pixel mismatch)
+RK = os.environ.get('RK', '')
 
 
 def readback(*arrays):
@@ -99,10 +102,15 @@ def main():
            (f' mi={mi}' if mi != 'chol' else '') +
            (f' su={su}' if su > 1 else '') +
            (f' roll={roll}' if roll != 'auto' else ''))
+    rk = {}
+    if RK:
+      k1, k2 = (int(v) for v in RK.split(','))
+      rk = {'renderer_kwargs': {'coarse_k': k1, 'mid_k': k2}}
+      tag += f' rk={k1}/{k2}'
     env = GeecoEnv(shapes=SCENE, settle_steps=2, solver_method=method,
                    solver_iterations=iters, contact_select_k=sel_k,
                    collide_every=ce, mass_inverse=mi, substep_unroll=su,
-                   rolling=roll)
+                   rolling=roll, **rk)
     env.setup()
     for B in SWEEP:
       try:

@@ -1,19 +1,16 @@
 #!/bin/bash
-# Round-5 fresh-VM pipeline (the r4 VM and its dataset/checkpoints are gone):
-#   1. collect pad2-cube2 states-only dataset: 2500 standard + 500
-#      perturbation-augmented + 600 DART (expert_noise sigma=0.05)
-#   2. expert gates at reference evaluation scale (VERDICT r4 ask #3):
-#      push n=1000, clutter4 n=100, nut-cone n=10, ball-cup n=10
-#      (reference test sizes: /root/reference/scripts/gym_pickplace.py:571-573)
-#   3. filter failed demos, create splits (perturbed/DART train-only)
-#   4. train geeco-f with interleaved 43-episode closed-loop evals ->
-#      artifacts/r5/eval_curve.csv (VERDICT r4 ask #1)
-#   5. final 129-episode eval with videos + failure triage
+# Round-5 pipeline, stage 2 (takes over from pipeline_r5c.sh once the
+# three collect stages are done — the r5c script would next spend ~25 min
+# of chip time compiling the clutter/nut/ball gate scenes; those small
+# gates (n=100/10/10) run on the idle CPU instead, concurrently with
+# training: scripts_dev/cpu_gates.sh).
 #
-# Touch /tmp/r5_pause to keep the TPU free after the next eval (perf
-# experiments); rm it to resume training.
+#   1. push expert gate n=1000 on TPU (the only gate big enough to need it)
+#   2. failure filtering + splits (+ DART train-only append)
+#   3. train/eval cycles until /tmp/r5_train_until (re-read every cycle)
+#   4. final 129-episode eval with videos + failure triage
 #
-# Usage: TRAIN_UNTIL=<epoch> nohup bash scripts_dev/pipeline_r5c.sh > /tmp/pipeline_r5c.log 2>&1 &
+# Usage: TRAIN_UNTIL=<epoch> nohup bash scripts_dev/pipeline_r5d.sh > /tmp/pipeline_r5d.log 2>&1 &
 set -u
 cd /root/repo
 
@@ -23,9 +20,7 @@ EVAL_BASE=/root/eval
 ART=/root/repo/artifacts/r5
 N_STD=${N_STD:-2500}
 N_PERT=${N_PERT:-500}
-N_DART=${N_DART:-600}
-export DART_SIGMA=${DART_SIGMA:-0.05}
-CHUNK_SECONDS=${CHUNK_SECONDS:-2400}
+CHUNK_SECONDS=${CHUNK_SECONDS:-1100}
 TRAIN_UNTIL=${TRAIN_UNTIL:?set TRAIN_UNTIL (unix epoch seconds)}
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 mkdir -p "$ART"
@@ -38,29 +33,8 @@ collect() {  # collect <module> <log> <args...>
   tail -1 "$log"
 }
 
-echo "=== [r5c] collect: $N_STD standard episodes ($(date +%T))"
-collect gym_pickplace /tmp/collect.log --shapes pad2-cube2 \
-    --wrk_dir /root/ds4 --num_envs 250 --start_idx 0 --end_idx "$N_STD" --seed 0
-
-echo "=== [r5c] collect: $N_PERT perturbation-augmented ($(date +%T))"
-collect gym_pickplace /tmp/collect.log --shapes pad2-cube2 \
-    --wrk_dir /root/ds4 --num_envs 250 --start_idx "$N_STD" \
-    --end_idx $((N_STD + N_PERT)) --seed 1 --start_sphere 0.10 --perturb_prefix 8
-
-echo "=== [r5c] collect: $N_DART DART episodes (sigma=$DART_SIGMA) ($(date +%T))"
-collect gym_pickplace /tmp/collect_dart.log --shapes pad2-cube2 \
-    --wrk_dir /root/ds4 --num_envs 200 --start_idx $((N_STD + N_PERT)) \
-    --end_idx $((N_STD + N_PERT + N_DART)) --seed 2 --expert_noise "$DART_SIGMA"
-
-echo "=== [r5c] expert gates at reference scale ($(date +%T))"
-: > "$ART/expert_gates.txt"
-gate() {  # gate <module> <shapes> <n> <num_envs>
-  local mod="$1" shapes="$2" n="$3" ne="$4"
-  local log="/tmp/gate_${shapes}.log"
-  : > "$log"
-  collect "$mod" "$log" --shapes "$shapes" --wrk_dir "/root/gates/$shapes" \
-      --num_envs "$ne" --start_idx 0 --end_idx "$n" --seed 11
-  python - "$shapes" "$n" "$log" >> "$ART/expert_gates.txt" <<'PYEOF'
+gate_stats() {  # gate_stats <shapes> <n> <log>
+  python - "$1" "$2" "$3" >> "$ART/expert_gates.txt" <<'PYEOF'
 import re, sys
 shapes, n, log = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 succ = tot = 0
@@ -74,13 +48,18 @@ print(f'{shapes}: expert task_success {succ}/{tot} '
 PYEOF
   tail -1 "$ART/expert_gates.txt"
 }
-gate gym_pushing push-pad2-cube2 1000 250
-gate gym_pickplace pad2-cube2-clutter4 100 100
-gate gym_pickplace nut-cone 10 10
-gate gym_pickplace ball-cup 10 10
-cp "$ART/expert_gates.txt" "$ART/expert_gates.bak" 2>/dev/null || true
 
-echo "=== [r5c] expert success stats + failure filtering ($(date +%T))"
+if [ ! -f /tmp/gate_push_done ]; then
+  echo "=== [r5d] push expert gate n=1000 ($(date +%T))"
+  : > /tmp/gate_push-pad2-cube2.log
+  collect gym_pushing /tmp/gate_push-pad2-cube2.log --shapes push-pad2-cube2 \
+      --wrk_dir /root/gates/push-pad2-cube2 --num_envs 250 \
+      --start_idx 0 --end_idx 1000 --seed 11
+  gate_stats push-pad2-cube2 1000 /tmp/gate_push-pad2-cube2.log
+  touch /tmp/gate_push_done
+fi
+
+echo "=== [r5d] expert success stats + failure filtering ($(date +%T))"
 python - "$N_STD" "$N_PERT" <<'PYEOF'
 import os, re, shutil, sys
 n_std, n_pert = int(sys.argv[1]), int(sys.argv[2])
@@ -113,11 +92,9 @@ for eid, ok in succ.items():
 print(f'moved {moved} failed episodes out of data/')
 PYEOF
 
-echo "=== [r5c] creating splits ($(date +%T))"
+echo "=== [r5d] creating splits ($(date +%T))"
 python -m geeco_tpu.run.dataset_tools create_splits --dataset_dir "$DS" \
     --split_name default || exit 1
-# perturbed-start episodes train only (reference evaluates from the
-# canonical reset distribution)
 python - "$N_STD" <<'PYEOF'
 import sys, os
 n_std = int(sys.argv[1])
@@ -179,8 +156,6 @@ PYEOF
 }
 
 mkdir -p "$MODEL"
-# TRAIN_UNTIL can be adjusted mid-run by writing a new epoch to
-# /tmp/r5_train_until (re-read at the top of every cycle).
 echo "$TRAIN_UNTIL" > /tmp/r5_train_until
 cycle=0
 while TRAIN_UNTIL=$(cat /tmp/r5_train_until) && [ "$(date +%s)" -lt "$TRAIN_UNTIL" ]; do
@@ -188,7 +163,7 @@ while TRAIN_UNTIL=$(cat /tmp/r5_train_until) && [ "$(date +%s)" -lt "$TRAIN_UNTI
   rm -f "$MODEL/STOP"
   left=$((TRAIN_UNTIL - $(date +%s)))
   chunk=$((left < CHUNK_SECONDS ? left : CHUNK_SECONDS))
-  echo "=== [r5c] cycle $cycle: train ${chunk}s (until $(date -u +%T -d @$TRAIN_UNTIL) UTC) ($(date +%T))"
+  echo "=== [r5d] cycle $cycle: train ${chunk}s (until $(date -u +%T -d @$TRAIN_UNTIL) UTC) ($(date +%T))"
   ( sleep "$chunk"; touch "$MODEL/STOP" ) &
   STOPPER=$!
   for attempt in 1 2 3; do
@@ -201,19 +176,19 @@ while TRAIN_UNTIL=$(cat /tmp/r5_train_until) && [ "$(date +%s)" -lt "$TRAIN_UNTI
         --num_epochs 1000 --max_total_steps 40000 \
         --ckpt_steps 200 --log_steps 25 --max_rss_gb 95 --seed 0
     rc=$?
-    echo "=== [r5c] trainer exited rc=$rc (attempt $attempt, $(date +%T))"
+    echo "=== [r5d] trainer exited rc=$rc (attempt $attempt, $(date +%T))"
     [ $rc -eq 0 ] && break       # STOP seen or step cap reached
     [ $rc -eq 3 ] || sleep 30    # 3 = RSS watchdog restart: loop at once
   done
   kill "$STOPPER" 2>/dev/null
   step=$(latest_step)
-  echo "=== [r5c] cycle $cycle: eval at step $step ($(date +%T))"
+  echo "=== [r5d] cycle $cycle: eval at step $step ($(date +%T))"
   run_eval 43 "curve_$step"
   while [ -e /tmp/r5_pause ]; do
-    echo "=== [r5c] paused (/tmp/r5_pause present) $(date +%T)"; sleep 30
+    echo "=== [r5d] paused (/tmp/r5_pause present) $(date +%T)"; sleep 30
   done
 done
 
-echo "=== [r5c] final eval: 129 episodes + videos + triage ($(date +%T))"
+echo "=== [r5d] final eval: 129 episodes + videos + triage ($(date +%T))"
 run_eval 129 "final_$(latest_step)" --rendering_mode video
-echo "=== [r5c] pipeline done ($(date +%T))"
+echo "=== [r5d] pipeline done ($(date +%T))"

@@ -61,11 +61,11 @@ def replayed(request):
     return jax.lax.scan(body, es, cmds)
 
   es_f, obj_trace = replay_all(es, jnp.asarray(fx['cmds']))
-  return env, es_f, np.asarray(obj_trace), fx
+  return env, es_f, np.asarray(obj_trace), fx, request.param
 
 
 def test_mujoco_replay_reaches_task_success(replayed):
-  env, es_f, _, fx = replayed
+  env, es_f, _, fx, _ = replayed
   m = env.eval_metrics(es_f)
   assert np.isfinite(np.asarray(es_f.phys.qpos)).all()
   assert float(m['task_success']) == 1.0, (
@@ -74,7 +74,7 @@ def test_mujoco_replay_reaches_task_success(replayed):
 
 
 def test_mujoco_replay_goal_dist_close(replayed):
-  env, es_f, _, fx = replayed
+  env, es_f, _, fx, _ = replayed
   m = env.eval_metrics(es_f)
   # final object-goal distance within 3 cm of the mujoco rollout
   assert abs(float(m['goal_dist']) - float(fx['final_goal_dist'])) < 0.03
@@ -84,7 +84,7 @@ def test_mujoco_replay_trajectory_drift_bounded(replayed):
   """Per-step object positions must track the recorded MuJoCo trajectory
   along the WHOLE episode, not just end near the goal (measured r2:
   max drift 9.2 mm pick / 19 mm push; untouched objects <= 0.1 mm)."""
-  env, es_f, obj_trace, fx = replayed
+  env, es_f, obj_trace, fx, fixture_name = replayed
   mj = fx['obj_pos_trace']
   drift = np.linalg.norm(obj_trace - mj, axis=-1)
   per_obj = drift.max(axis=0)     # [n_obj]
@@ -92,10 +92,16 @@ def test_mujoco_replay_trajectory_drift_bounded(replayed):
   # loose bound; objects static in the MuJoCo trace must stay static here
   moved = np.linalg.norm(mj - mj[:1], axis=-1).max(axis=0) > 0.005
   assert per_obj[0] < 0.03, f'task object drift {per_obj[0]:.4f}'
-  # non-task moved objects are brushed/bumped secondaries whose post-impact
-  # roll is near-chaotic (clutter4 re-record with exec-clip: 46 mm on one
-  # brushed piece while the task object tracks at 6 mm) — slightly looser
-  assert per_obj[moved].max() < 0.06, f'moved-object drift {per_obj[moved]}'
+  # Non-task moved objects are brushed/bumped secondaries.  The bound is
+  # per-fixture (round-4 verdict ask 7: one global loose bound can absorb
+  # regressions silently): every fixture holds the task-object 30 mm bound
+  # EXCEPT clutter4, where ONE brushed piece's post-impact roll is
+  # near-chaotic (46 mm observed on the exec-clip re-record while the task
+  # object tracks at 6 mm).  That single documented case gets 55 mm; any
+  # new fixture or regression elsewhere trips the 30 mm default.
+  moved_cap = 0.055 if 'clutter4' in fixture_name else 0.03
+  assert per_obj[moved].max() < moved_cap, (
+      f'moved-object drift {per_obj[moved]} (cap {moved_cap})')
   static = per_obj[~moved]
   if static.size:
     # one bound for every scene family: the r2 psd_block+quota solver
