@@ -82,6 +82,10 @@ ARGPARSER.add_argument('--expert_noise', type=float, default=0.0,
                             'N(0, sigma) on the EE translation, '
                             'record the clean expert action '
                             '(expert/policies.py rollout)')
+ARGPARSER.add_argument('--renderer_trim', type=str, default='',
+                       help='K1,K2 binning-cap override (coarse_k,mid_k); '
+                       'only fidelity-gated pixel-exact values '
+                       '(scripts_dev/binning_fidelity.py)')
 ARGPARSER.add_argument('--debug', default=False, action='store_true')
 
 if __name__ == '__main__':

@@ -49,6 +49,10 @@ def build_env(args) -> GeecoEnv:
   tg = getattr(args, 'tex_grid', -1)
   if tg is not None and tg >= 0:
     rk['tex_grid'] = tg
+  trim = getattr(args, 'renderer_trim', '')
+  if trim:
+    k1, k2 = (int(v) for v in trim.split(','))
+    rk.update(coarse_k=k1, mid_k=k2)
   return GeecoEnv(shapes=args.shapes, frame_res=tuple(args.frame_res),
                   start_sphere_r=getattr(args, 'start_sphere', 0.03),
                   renderer_kwargs=rk)

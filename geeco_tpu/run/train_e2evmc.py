@@ -70,6 +70,14 @@ ARGPARSER.add_argument('--start_boost_windows', type=int, default=13)
 ARGPARSER.add_argument('--aug_shift', type=int, default=0,
                        help='train-time random per-episode image '
                             'translation in pixels (episode mode only)')
+ARGPARSER.add_argument('--renderer_trim', type=str, default='',
+                       help='K1,K2: override the re-render binning caps '
+                       '(coarse_k,mid_k) for state-only training. Only use '
+                       'values that scripts_dev/binning_fidelity.py shows '
+                       'pixel-exact for the scene (pad2-cube2: exact down '
+                       'to 96,48) — then the re-rendered frames are '
+                       'bit-identical to the frame-mode collect, just '
+                       'cheaper to bin.')
 ARGPARSER.add_argument('--max_rss_gb', type=float, default=100.0,
                        help='checkpoint and exit(3) when host RSS exceeds '
                             'this (the axon relay leaks transfer buffers; '
@@ -136,9 +144,15 @@ def main(args):
                        '(on-device re-rendering)')
     meta = get_meta(args.dataset_dir)
     from ..envs.base import make_env
+    rkw = dict(meta.get('renderer_kwargs', {}))
+    if args.renderer_trim:
+      k1, k2 = (int(v) for v in args.renderer_trim.split(','))
+      rkw.update(coarse_k=k1, mid_k=k2)
+      print(f'>>> renderer binning trim: coarse_k={k1} mid_k={k2} '
+            '(fidelity-gated pixel-exact)')
     env = make_env(meta.get('shapes', 'pad2-cube2'),
                    frame_res=(meta['img_height'], meta['img_width']),
-                   renderer_kwargs=meta.get('renderer_kwargs', {}))
+                   renderer_kwargs=rkw)
     env.setup()
     render_fn = env.render_from_qpos
     print('>>> state-only dataset: on-device re-rendering '

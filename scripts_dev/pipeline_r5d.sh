@@ -130,7 +130,8 @@ run_eval() {  # $1 = n_episodes, $2 = eval tag, extra args pass through
   python -u -m geeco_tpu.run.gym_pickplace --sim_mode controller \
       --model_dir "$MODEL" --goal_condition target \
       --dataset_dir "$DS" --split_name default \
-      --wrk_dir "$dir" --num_envs 43 --end_idx "$n" --seed 7 "$@" \
+      --wrk_dir "$dir" --num_envs 43 --end_idx "$n" --seed 7 \
+      --renderer_trim 192,96 "$@" \
       2>&1 | tail -25
   local step; step=$(latest_step)
   python - "$dir/controller" "$step" "$n" <<'PYEOF'
@@ -173,6 +174,7 @@ while TRAIN_UNTIL=$(cat /tmp/r5_train_until) && [ "$(date +%s)" -lt "$TRAIN_UNTI
         --lr 2e-4 --train_mode episode --episodes_per_batch 8 \
         --aug_shift 10 --loss_weighting cmd_mag \
         --start_boost 6.0 --start_boost_windows 13 \
+        --renderer_trim 192,96 \
         --num_epochs 1000 --max_total_steps 40000 \
         --ckpt_steps 200 --log_steps 25 --max_rss_gb 95 --seed 0
     rc=$?
