@@ -8,6 +8,7 @@ ANSI conversion and a scripted drive of the tiny env (no TTY needed).
 import io
 
 import numpy as np
+import pytest
 
 from geeco_tpu.render.viewer import TerminalViewer, frame_to_ansi
 
@@ -48,8 +49,14 @@ def test_terminal_viewer_writes_to_file():
   assert '▀' in out and 't=0' in out
 
 
+@pytest.mark.slow
 def test_scripted_viewer_session_tiny_env():
-  """Drive the interactive CLI with a scripted key sequence on CPU."""
+  """Drive the interactive CLI with a scripted key sequence on CPU.
+
+  slow-marked (round-4 verdict ask 9: fast suite <10 min): the tiny-env
+  compile is ~65 s and the ANSI formatting it exercises end-to-end is
+  covered by the four fast tests above; the full CLI drive runs in the
+  nightly/full suite (pytest -m '')."""
   import types
 
   from geeco_tpu.run import viewer as cli
