@@ -34,18 +34,30 @@ for eid in fail:
       moved += ext == 'npz'
 
 with open(os.path.join(SPLIT, 'train.txt')) as fp:
-  have = {line.strip() for line in fp if line.strip()}
+  have = [line.strip() for line in fp if line.strip()]
+# create_splits may have run AFTER the DART collect, in which case the
+# DART ids (incl. the just-filtered failures) are already listed: drop
+# every name whose npz is gone so the trainer never sees a dangling path
+# (list_records does no existence check — a stale entry crashes the
+# prefetch thread mid-epoch).
+kept = [n for n in have
+        if os.path.exists(os.path.join(DS, 'data', n))]
+dropped = len(have) - len(kept)
 added = 0
-with open(os.path.join(SPLIT, 'train.txt'), 'a') as fp:
-  for eid in succ:
-    name = f'replay_buffer_{eid:04d}.npz'
-    if name not in have and os.path.exists(os.path.join(DS, 'data', name)):
-      fp.write(name + '\n')
-      added += 1
+seen = set(kept)
+for eid in succ:
+  name = f'replay_buffer_{eid:04d}.npz'
+  if name not in seen and os.path.exists(os.path.join(DS, 'data', name)):
+    kept.append(name)
+    seen.add(name)
+    added += 1
+with open(os.path.join(SPLIT, 'train.txt'), 'w') as fp:
+  fp.write('\n'.join(kept) + '\n')
 n = len(succ) + len(fail)
 print(f'DART collect: {len(succ)}/{n} task_success '
       f'({100.0 * len(succ) / max(n, 1):.2f}%); '
-      f'{moved} failures filtered, {added} episodes appended to train')
+      f'{moved} failures filtered, {added} episodes appended to train, '
+      f'{dropped} dangling entries dropped')
 with open('/root/repo/artifacts/r5/dart_collect_stats.txt', 'w') as out:
   out.write(f'pad2-cube2 DART collect (expert_noise sigma={SIGMA}): '
             f'{len(succ)}/{n} task_success '
