@@ -46,6 +46,10 @@ if REPO_ROOT not in sys.path:
 
 NORTH_STAR = 1_000_000.0
 
+# set by main() to the actual env config (so overridden runs don't claim
+# the default config in the metric string)
+_CONFIG_NOTE = 'ce=2 + binning 192/96, both fidelity-gated'
+
 # best-so-far results, readable from the signal handler
 _RESULTS = {}
 _TRAIN_STEPS = None   # E2EVMC episode-scan train steps/sec (ask #5)
@@ -63,7 +67,7 @@ def _emit(note=''):
   out = {
       'metric': (f'pad2-cube2 env steps/sec/chip (B={best_b} of '
                  f'{sorted(_RESULTS)}; 20 substeps + 256x256 render per '
-                 f'step; ce=2 + binning 192/96, both fidelity-gated; '
+                 f'step; {_CONFIG_NOTE}; '
                  f'forced-readback timing{note})'),
       'value': round(steps_per_sec, 2),
       'unit': 'env_steps/sec/chip',
@@ -92,7 +96,9 @@ def _readback(*arrays):
   """Force a host readback that depends on every array (real sync point)."""
   import jax
   import jax.numpy as jnp
-  tot = sum(jnp.sum(a[..., -1].astype(jnp.float32)) for a in arrays)
+  # ravel first: scalar metrics (e.g. the train-step loss) are 0-d and
+  # a[..., -1] on those raises IndexError
+  tot = sum(jnp.sum(jnp.ravel(a)[-1:].astype(jnp.float32)) for a in arrays)
   return float(jax.device_get(tot))
 
 
@@ -280,6 +286,10 @@ def main():
   if rk:
     k1, k2 = (int(v) for v in rk.split(','))
     env_kwargs['renderer_kwargs'] = {'coarse_k': k1, 'mid_k': k2}
+  global _CONFIG_NOTE
+  _CONFIG_NOTE = (f"ce={env_kwargs['collide_every']}"
+                  + (f' binning {rk.replace(",", "/")}' if rk else '')
+                  + ', fidelity-gated')
   env = GeecoEnv(shapes='pad2-cube2', settle_steps=2, **env_kwargs)
   env.setup()
 
