@@ -1,7 +1,7 @@
 #!/bin/bash
-# Round-5 TPU perf window (VERDICT r4 ask #2): run while the trainer is
-# paused/done.  ONE TPU process at a time; compile cache shared.
-# Writes the sweep table to artifacts/r5/perf_sweep.txt as it goes.
+# Round-5 TPU perf window (VERDICT r4 ask #2): run when the chip frees up
+# after the final eval.  Highest-value measurements first in case the
+# round ends mid-script.  Writes artifacts/r5/perf_sweep.txt as it goes.
 #
 # Usage: nohup bash scripts_dev/r5_perf_window.sh > /tmp/perf_window.log 2>&1 &
 set -u
@@ -15,27 +15,21 @@ log "# r5 perf sweep ($(date -u +%FT%TZ)) — pad2-cube2, 20 substeps @2ms + 256
 log "# config: collide_every=2 + binning 192/96 (both fidelity-gated; bench.py defaults)"
 
 log ""
-log "## B-sweep, per-dispatch timing (BENCH_SCAN=0)"
-BENCH_SWEEP=256,512,1024,2048 BENCH_STEPS=8 BENCH_TRAIN=0 \
-  timeout 1500 python bench.py 2>&1 | grep -E "^#|^\{" | tee -a "$OUT"
-
-log ""
 log "## B-sweep, scan timing (no host-dispatch gaps — the vectorized-collect regime)"
 BENCH_SCAN=1 BENCH_SWEEP=256,512,1024,2048 BENCH_STEPS=8 BENCH_TRAIN=0 \
-  timeout 1500 python bench.py 2>&1 | grep -E "^#|^\{" | tee -a "$OUT"
+  timeout 1200 python bench.py 2>&1 | grep -E "^#|^\{" | tee -a "$OUT"
 
 log ""
 log "## lever variants at B=1024 (scan timing)"
-# deeper binning trim (96/48: still pixel-exact per binning_fidelity.py),
-# substep unroll, and the r4-default config for the before/after delta
-for V in "BENCH_RK=96,48" "BENCH_SUBSTEP_UNROLL=2" "BENCH_RK=96,48 BENCH_SUBSTEP_UNROLL=2" "BENCH_COLLIDE_EVERY=1 BENCH_RK=512,192"; do
+for V in "BENCH_RK=96,48" "BENCH_COLLIDE_EVERY=1 BENCH_RK=512,192"; do
   log "--- $V"
   env $V BENCH_SCAN=1 BENCH_NUM_ENVS=1024 BENCH_STEPS=8 BENCH_TRAIN=0 \
-    timeout 900 python bench.py 2>&1 | grep -E "^#|^\{" | tee -a "$OUT"
+    timeout 600 python bench.py 2>&1 | grep -E "^#|^\{" | tee -a "$OUT"
 done
 
 log ""
-log "## per-stage profile at B=1024 (binning/raster/physics split)"
-B=1024 N=6 timeout 900 python scripts_dev/profile_render_stages.py 2>&1 | tee -a "$OUT"
+log "## per-dispatch timing at B=256 (the r4-comparable number) + train steps/s"
+BENCH_SWEEP=256 BENCH_STEPS=8 \
+  timeout 900 python bench.py 2>&1 | grep -E "^#|^\{" | tee -a "$OUT"
 
 log "# done ($(date -u +%FT%TZ))"
